@@ -1,0 +1,277 @@
+"""Alternating least squares via projected gradient (Lin 2007).
+
+Behavioral reference: /root/reference/src/alspgrad.jl — the largest solver in
+the reference.  Each outer sweep runs two inner projected-gradient solves
+(H then W), each with an adaptive backtracking line search (grow-or-shrink
+alpha decided at the first trial, :138-178) and a projected-gradient-norm
+stopping rule (:9-19).  The outer updater multiplies ``tolg`` by 0.1 whenever
+an inner solve converges in a single iteration (:409-421).
+
+TPU-first notes
+---------------
+Both inner solves reduce to the same canonical problem
+``min_{Y >= 0} 0.5 || A Y - B ||^2`` given the Grams ``AtA = A'A`` (k x k)
+and ``AtB = A'B`` (k x m):
+
+* H-update: ``A = W``, ``B = X``, ``Y = H``.
+* W-update: ``A = H'``, ``B = X'``, ``Y = W'`` (the gradient
+  ``W HH' - XH'`` is the transpose of ``HH' W' - (XH')'``).
+
+So one jitted subsolver serves both, and X is touched only once per sweep per
+factor (to build ``W'X`` / ``XH'``); every line-search trial costs a
+k x k @ k x m matmul plus two fused reductions — no p x n traffic.  The whole
+nested loop structure (outer sweep, inner PG loop, <=traceiter backtracks) is
+on-device ``lax.while_loop``s; the alpha grow/shrink state machine is carried
+as loop state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.objectives import mse_objective
+from ..utils.dtypes import cbrt_eps, eps as _eps, quartic_root_eps
+from .common import Result, data_field, nmf_skeleton, register_solver, static_field
+
+__all__ = ["ALSPGrad", "alspgrad_updateh", "alspgrad_updatew"]
+
+
+# ---------------------------------------------------------------------------
+# The canonical projected-gradient subsolver
+
+
+class _LSCarry(NamedTuple):
+    Y: jax.Array  # accepted iterate (unchanged until a branch accepts)
+    Yp: jax.Array  # "previous candidate" buffer (reference Hp/Wp)
+    alpha: jax.Array
+    decr: jax.Array  # shrinking (True) vs growing (False) alpha
+    it: jax.Array
+    done: jax.Array
+
+
+class _PGCarry(NamedTuple):
+    Y: jax.Array
+    alpha: jax.Array
+    t: jax.Array
+    converged: jax.Array
+
+
+def _projgradnorm(G, Y):
+    """sqrt(sum of g^2 over entries with g<0 or y>0)
+    (reference ``projgradnorm``, src/alspgrad.jl:9-19)."""
+    mask = (G < 0) | (Y > 0)
+    g2 = jnp.where(mask, G * G, jnp.zeros((), G.dtype))
+    return jnp.sqrt(jnp.sum(g2))
+
+
+def _pg_subsolve(AtA, AtB, Y0, maxiter, traceiter, tolg, beta, sigma, verbose=False):
+    """Solve ``min_{Y>=0} 0.5||A Y - B||^2`` by Lin's projected gradient with
+    adaptive backtracking (reference ``_alspgrad_updateh!``,
+    src/alspgrad.jl:86-191; the W variant :242-347 is this on transposed
+    data).  Returns ``(Y, t)`` with t the number of outer PG iterations.
+
+    Alpha is initialized to 1 per subsolve call and persists across PG
+    iterations (src/alspgrad.jl:120).  If a line search exhausts
+    ``traceiter`` trials without accepting, Y is left unchanged for that
+    iteration — exactly the reference's (non-)assignment behavior.
+    """
+    dt = Y0.dtype
+    zero = jnp.zeros((), dt)
+    epsT = jnp.asarray(_eps(dt), dt)
+    beta = jnp.asarray(beta, dt)
+    sigma = jnp.asarray(sigma, dt)
+    tolg = jnp.asarray(tolg, dt)
+
+    def line_search(Y, G, alpha):
+        def cond(s: _LSCarry):
+            return jnp.logical_and(~s.done, s.it < traceiter)
+
+        def body(s: _LSCarry):
+            it = s.it + 1
+            first = it == 1
+            Yn = jnp.maximum(Y - s.alpha * G, zero)
+            D = Yn - Y
+            dv1 = jnp.vdot(G, D)
+            dv2 = jnp.vdot(AtA @ D, D)
+            suff_decr = (1 - sigma) * dv1 + jnp.asarray(0.5, dt) * dv2 < 0
+            # First trial decides the direction and snapshots Yp <- Y
+            # (src/alspgrad.jl:157-160).
+            decr = jnp.where(first, ~suff_decr, s.decr)
+            Yp_eff = jnp.where(first, Y, s.Yp)
+            # Frobenius isapprox(Yp, Yn, atol=eps(T)) (src/alspgrad.jl:169).
+            close = jnp.linalg.norm(Yp_eff - Yn) <= epsT
+            take_n = decr & suff_decr  # shrink branch accepts Yn
+            take_p = (~decr) & ((~suff_decr) | close)  # grow branch accepts Yp
+            done = take_n | take_p
+            Y_out = jnp.where(take_n, Yn, jnp.where(take_p, Yp_eff, s.Y))
+            alpha_next = jnp.where(
+                done, s.alpha, jnp.where(decr, s.alpha * beta, s.alpha / beta)
+            )
+            # Growing and not done: remember this candidate (Yp <- Yn).
+            Yp_next = jnp.where(done | decr, Yp_eff, Yn)
+            return _LSCarry(Y_out, Yp_next, alpha_next, decr, it, done)
+
+        init = _LSCarry(
+            Y,
+            jnp.zeros_like(Y),
+            alpha,
+            jnp.zeros((), bool),
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((), bool),
+        )
+        out = jax.lax.while_loop(cond, body, init)
+        return out.Y, out.alpha
+
+    def cond(c: _PGCarry):
+        return jnp.logical_and(~c.converged, c.t < maxiter)
+
+    def body(c: _PGCarry):
+        G = AtA @ c.Y - AtB
+        pgnrm = _projgradnorm(G, c.Y)
+        converged = pgnrm < tolg
+        Y, alpha = jax.lax.cond(
+            converged,
+            lambda args: (args[0], args[2]),
+            lambda args: line_search(*args),
+            (c.Y, G, c.alpha),
+        )
+        return _PGCarry(Y, alpha, c.t + 1, converged)
+
+    init = _PGCarry(
+        Y0,
+        jnp.ones((), dt),
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), bool),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    return out.Y, out.t
+
+
+@jax.jit
+def _pg_solve_h(X, W, H, maxiter, traceiter, tolg, beta, sigma):
+    WtW = W.T @ W
+    WtX = W.T @ X
+    return _pg_subsolve(WtW, WtX, H, maxiter, traceiter, tolg, beta, sigma)
+
+
+@jax.jit
+def _pg_solve_w(X, W, H, maxiter, traceiter, tolg, beta, sigma):
+    HHt = H @ H.T
+    XHt = X @ H.T
+    Wt, t = _pg_subsolve(HHt, XHt.T, W.T, maxiter, traceiter, tolg, beta, sigma)
+    return Wt.T, t
+
+
+def alspgrad_updateh(
+    X,
+    W,
+    H,
+    *,
+    maxiter: int = 1000,
+    traceiter: int = 20,
+    tolg: float | None = None,
+    beta: float = 0.2,
+    sigma: float = 0.01,
+    verbose: bool = False,
+):
+    """Per-factor public solver (reference ``alspgrad_updateh!``,
+    src/alspgrad.jl:69-84).  Returns ``(H, niters)``.  ``tolg`` defaults to
+    ``cbrt(eps(T))``."""
+    if tolg is None:
+        tolg = cbrt_eps(H.dtype)
+    H, t = _pg_solve_h(X, W, H, maxiter, traceiter, tolg, beta, sigma)
+    return H, int(t)
+
+
+def alspgrad_updatew(
+    X,
+    W,
+    H,
+    *,
+    maxiter: int = 1000,
+    traceiter: int = 20,
+    tolg: float | None = None,
+    beta: float = 0.2,
+    sigma: float = 0.01,
+    verbose: bool = False,
+):
+    """Per-factor public solver (reference ``alspgrad_updatew!``,
+    src/alspgrad.jl:225-240).  Returns ``(W, niters)``."""
+    if tolg is None:
+        tolg = cbrt_eps(W.dtype)
+    W, t = _pg_solve_w(X, W, H, maxiter, traceiter, tolg, beta, sigma)
+    return W, int(t)
+
+
+# ---------------------------------------------------------------------------
+# The outer alternating solver
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ALSPGrad:
+    """Options for ALS projected gradient (reference ``ALSPGrad{T}``,
+    src/alspgrad.jl:352-373).  ``tolg`` defaults to ``eps(T)^(1/4)`` and
+    decays by 10x whenever an inner solve converges in one iteration."""
+
+    maxiter: int = static_field(default=100)
+    maxsubiter: int = static_field(default=200)
+    verbose: bool = static_field(default=False)
+    tol: float | None = data_field(default=None)
+    tolg: float | None = data_field(default=None)
+    update_H: bool = static_field(default=True)
+
+    def _resolved(self, dtype):
+        upd = dataclasses.replace(
+            self,
+            tol=self.tol if self.tol is not None else cbrt_eps(dtype),
+            tolg=self.tolg if self.tolg is not None else quartic_root_eps(dtype),
+        )
+        return upd, upd.tol
+
+    def _solve(self, X, W, H) -> Result:
+        upd, tol = self._resolved(W.dtype)
+        return nmf_skeleton(upd, X, W, H, upd.maxiter, upd.verbose, tol)
+
+
+def _prepare(upd: ALSPGrad, X, W, H):
+    # tolg decays across outer iterations (src/alspgrad.jl:409-421) -> state.
+    return (jnp.asarray(upd.tolg, W.dtype),)
+
+
+def _update(upd: ALSPGrad, state, X, W, H):
+    """One outer sweep (reference ``update_wh!``, src/alspgrad.jl:400-425):
+    inner H solve, tolg decay, inner W solve, tolg decay."""
+    (tolg,) = state
+    dt = W.dtype
+    beta = jnp.asarray(0.2, dt)
+    sigma = jnp.asarray(0.01, dt)
+    traceiter = 20
+
+    if upd.update_H:
+        WtW = W.T @ W
+        WtX = W.T @ X
+        H, iterH = _pg_subsolve(
+            WtW, WtX, H, upd.maxsubiter, traceiter, tolg, beta, sigma
+        )
+        tolg = jnp.where(iterH == 1, tolg * jnp.asarray(0.1, dt), tolg)
+
+    HHt = H @ H.T
+    XHt = X @ H.T
+    Wt, iterW = _pg_subsolve(
+        HHt, XHt.T, W.T, upd.maxsubiter, traceiter, tolg, beta, sigma
+    )
+    W = Wt.T
+    tolg = jnp.where(iterW == 1, tolg * jnp.asarray(0.1, dt), tolg)
+    return W, H, (tolg,)
+
+
+def _objective(upd: ALSPGrad, state, X, W, H):
+    return mse_objective(X, W, H)
+
+
+register_solver(ALSPGrad, prepare=_prepare, update=_update, objective=_objective)

@@ -1,0 +1,281 @@
+"""Shared iteration skeleton for all iterative NMF solvers.
+
+The reference's key architectural idea (/root/reference/src/common.jl:41-89) is
+one generic loop ``nmf_skeleton!`` parameterized by an updater implementing
+``prepare_state`` / ``update_wh!`` / ``evaluate_objv``.  We keep the idea but
+make it TPU-native:
+
+* updaters are **pure functions over pytrees** — each solver registers
+  ``prepare(upd, X, W, H) -> state``, ``update(upd, state, X, W, H) ->
+  (W, H, state)`` and ``objective(upd, state, X, W, H) -> scalar``;
+* the main loop is a single jitted ``lax.while_loop`` — the whole solve
+  (all iterations, the convergence test, the final objective) is one XLA
+  program; no host round-trips per iteration;
+* the convergence test (reference ``stop_condition``,
+  src/common.jl:92-111) becomes a masked full reduction instead of an
+  early-exit scalar scan — O((p+n)k) fused VPU work;
+* option objects are dataclasses registered as jax pytrees: numeric
+  hyperparameters (lambdas, tolerances) are *traced* leaves so changing them
+  never recompiles; boolean/structure switches are static metadata.
+
+``verbose=True`` switches to a host-driven loop of jitted single steps so the
+per-iteration trace table (src/common.jl:57-58,76-82) can include real wall
+time; results are identical.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.numeric import safe_div
+
+__all__ = [
+    "Result",
+    "stop_condition",
+    "nmf_skeleton",
+    "register_solver",
+    "solve",
+    "static_field",
+    "data_field",
+]
+
+
+# ---------------------------------------------------------------------------
+# Option-dataclass helpers
+
+
+def static_field(**kw):
+    """Dataclass field treated as static pytree metadata (recompiles on change)."""
+    kw.setdefault("metadata", {})
+    kw["metadata"] = dict(kw["metadata"], static=True)
+    return dataclasses.field(**kw)
+
+
+def data_field(**kw):
+    """Dataclass field treated as a traced pytree leaf (no recompiles)."""
+    return dataclasses.field(**kw)
+
+
+# ---------------------------------------------------------------------------
+# Result
+
+
+class Result:
+    """Outcome of an NMF solve — mirrors the reference ``Result{T}``
+    (src/common.jl:21-38): factors, iteration count, convergence flag and the
+    final objective value, with value-semantic ``==`` and ``hash``
+    (src/common.jl:37-38)."""
+
+    __slots__ = ("W", "H", "niters", "converged", "objvalue")
+
+    def __init__(self, W, H, niters, converged, objvalue):
+        if W.shape[1] != H.shape[0]:
+            raise ValueError("Inner dimensions of W and H mismatch.")
+        self.W = W
+        self.H = H
+        self.niters = int(niters)
+        self.converged = bool(converged)
+        self.objvalue = float(objvalue)
+
+    def __eq__(self, other):
+        if not isinstance(other, Result):
+            return NotImplemented
+        return (
+            np.array_equal(np.asarray(self.W), np.asarray(other.W))
+            and np.array_equal(np.asarray(self.H), np.asarray(other.H))
+            and self.niters == other.niters
+            and self.converged == other.converged
+            and self.objvalue == other.objvalue
+        )
+
+    def __hash__(self):
+        return hash(
+            (
+                np.asarray(self.W).tobytes(),
+                np.asarray(self.H).tobytes(),
+                self.niters,
+                self.converged,
+                self.objvalue,
+            )
+        )
+
+    def __repr__(self):
+        return (
+            f"Result(W={self.W.shape}, H={self.H.shape}, niters={self.niters}, "
+            f"converged={self.converged}, objvalue={self.objvalue})"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Convergence test
+
+
+def stop_condition(W, preW, H, preH, tol):
+    """Relative per-component change test (reference ``stop_condition``,
+    src/common.jl:92-111).
+
+    For each component j: ``dev_w = sum_i (W[i,j]-preW[i,j])^2`` and
+    ``sum_w = sum_i (W[i,j]+preW[i,j])^2`` (and the same over row j of H);
+    converged iff ``sqrt(dev) <= tol*sqrt(sum)`` for both factors of every
+    component.  Returns ``(converged, devmax)`` with
+    ``devmax = max_j sqrt(max(dev_w/sum_w, dev_h/sum_h))`` (0/0 guarded to 0;
+    the reference only ever prints this value).
+
+    The reference early-exits the scalar loop; on TPU the masked full
+    reduction is a single fused VPU pass and, when sharded, one scalar
+    all-reduce.
+    """
+    dW = W - preW
+    sW = W + preW
+    dev_w = jnp.sum(dW * dW, axis=0)
+    sum_w = jnp.sum(sW * sW, axis=0)
+    dH = H - preH
+    sH = H + preH
+    dev_h = jnp.sum(dH * dH, axis=1)
+    sum_h = jnp.sum(sH * sH, axis=1)
+    tol = jnp.asarray(tol, dev_w.dtype)
+    tol2 = tol * tol
+    not_conv = (dev_w > tol2 * sum_w) | (dev_h > tol2 * sum_h)
+    converged = ~jnp.any(not_conv)
+    ratio = jnp.maximum(safe_div(dev_w, sum_w), safe_div(dev_h, sum_h))
+    dev = jnp.sqrt(jnp.max(ratio))
+    return converged, dev
+
+
+# ---------------------------------------------------------------------------
+# Solver registry: maps option-dataclass type -> implementation triple
+
+
+class SolverImpl(NamedTuple):
+    prepare: Callable[..., Any]
+    update: Callable[..., Any]
+    objective: Callable[..., Any]
+
+
+_IMPLS: dict[type, SolverImpl] = {}
+
+
+def register_solver(options_cls, *, prepare, update, objective):
+    """Register the (prepare, update, objective) implementation for an
+    options dataclass.  The dataclass must already be a jax pytree."""
+    _IMPLS[options_cls] = SolverImpl(prepare, update, objective)
+    return options_cls
+
+
+def _impl_for(upd) -> SolverImpl:
+    try:
+        return _IMPLS[type(upd)]
+    except KeyError:
+        raise TypeError(f"No solver registered for {type(upd).__name__}") from None
+
+
+# ---------------------------------------------------------------------------
+# The skeleton
+
+
+class _Carry(NamedTuple):
+    W: jax.Array
+    H: jax.Array
+    state: Any
+    t: jax.Array
+    converged: jax.Array
+    dev: jax.Array
+
+
+@jax.jit
+def _solve_while(upd, X, W, H, maxiter, tol):
+    """Whole solve as one on-device while_loop.  Matches the reference loop
+    (src/common.jl:64-83): t increments, update, convergence test; the
+    objective is evaluated once on the final factors (src/common.jl:85-87)."""
+    impl = _impl_for(upd)
+    state = impl.prepare(upd, X, W, H)
+    dt = W.dtype
+
+    def cond(c: _Carry):
+        return jnp.logical_and(~c.converged, c.t < maxiter)
+
+    def body(c: _Carry):
+        Wn, Hn, sn = impl.update(upd, c.state, X, c.W, c.H)
+        converged, dev = stop_condition(Wn, c.W, Hn, c.H, tol)
+        return _Carry(Wn, Hn, sn, c.t + 1, converged, dev)
+
+    init = _Carry(
+        W,
+        H,
+        state,
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), bool),
+        jnp.zeros((), dt),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    objv = impl.objective(upd, final.state, X, final.W, final.H)
+    return final.W, final.H, final.t, final.converged, objv
+
+
+@jax.jit
+def _solve_step(upd, state, X, W, H, tol):
+    impl = _impl_for(upd)
+    Wn, Hn, sn = impl.update(upd, state, X, W, H)
+    converged, dev = stop_condition(Wn, W, Hn, H, tol)
+    return Wn, Hn, sn, converged, dev
+
+
+@jax.jit
+def _prepare(upd, X, W, H):
+    return _impl_for(upd).prepare(upd, X, W, H)
+
+
+@jax.jit
+def _objective(upd, state, X, W, H):
+    return _impl_for(upd).objective(upd, state, X, W, H)
+
+
+def nmf_skeleton(upd, X, W, H, maxiter, verbose, tol) -> Result:
+    """Run the shared iteration skeleton and wrap the outcome in a Result.
+
+    ``upd`` is an options pytree previously hooked up via
+    :func:`register_solver`.  ``maxiter`` and ``tol`` are traced, so sweeping
+    them does not recompile.
+    """
+    tol = jnp.asarray(tol, W.dtype)
+    if not verbose:
+        W, H, t, converged, objv = _solve_while(upd, X, W, H, maxiter, tol)
+        return Result(W, H, t, converged, objv)
+
+    # Host-driven loop with the reference's trace table (src/common.jl:54-82).
+    state = _prepare(upd, X, W, H)
+    objv = float(_objective(upd, state, X, W, H))
+    start = time.time()
+    print(
+        f"{'Iter':<5}    {'Elapsed time':<13}    {'objv':<13}    "
+        f"{'objv.change':<13}    {'(W & H).relchange':<13}"
+    )
+    print(f"{0:5d}    {0.0:13.6e}    {objv:13.6e}")
+    t = 0
+    converged = False
+    while not converged and t < maxiter:
+        t += 1
+        W, H, state, converged_a, dev = _solve_step(upd, state, X, W, H, tol)
+        converged = bool(converged_a)
+        elapsed = time.time() - start
+        preobjv = objv
+        objv = float(_objective(upd, state, X, W, H))
+        print(
+            f"{t:5d}    {elapsed:13.6e}    {objv:13.6e}    "
+            f"{objv - preobjv:13.6e}    {float(dev):13.6e}"
+        )
+    return Result(W, H, t, converged, objv)
+
+
+def solve(alg, X, W, H) -> Result:
+    """Solve NMF with a configured algorithm object (the reference's
+    ``NMF.solve!(alg, X, W, H)``, e.g. src/multupd.jl:45-52).  Returns a new
+    Result; unlike the reference nothing is mutated in place."""
+    return alg._solve(X, W, H)

@@ -1,0 +1,154 @@
+"""Greedy coordinate descent (Hsieh & Dhillon 2011) — the default ``nnmf``
+algorithm.
+
+Behavioral reference: /root/reference/src/greedycd.jl (options :10-31, core
+``_update_GreedyCD!`` :94-166, transpose-trick H update :168-178).
+
+TPU-first notes
+---------------
+The reference's inner loop has a *data-dependent trip count per row*: each row
+greedily applies its best coordinate until the best score drops below
+``nu * p_init`` or ``k^2`` steps.  The rows are mutually independent, so we
+``vmap`` a bounded ``lax.while_loop`` over the rows — JAX's batching rule
+masks finished rows automatically, so every row follows exactly the
+reference's schedule while the TPU executes all rows in lockstep (run length
+= the slowest row, each step being VPU work on k-vectors).
+
+The Gram setup (``P = H H'``, ``Z = X H'``, ``G = W P - Z + lambda``) is
+plain MXU matmuls; with X sharded it is a k x k all-reduce plus sharded
+matmuls, and the per-row loop is local to each row shard.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.objectives import mse_objective
+from ..utils.dtypes import eps as _eps
+from ..utils.numeric import projectnn
+from .common import Result, data_field, nmf_skeleton, register_solver, static_field
+
+__all__ = ["GreedyCD"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GreedyCD:
+    """Options for greedy CD (reference ``GreedyCD{T}``, src/greedycd.jl:10-31).
+    ``lambda_w``/``lambda_h`` are **L1** coefficients."""
+
+    maxiter: int = static_field(default=100)
+    verbose: bool = static_field(default=False)
+    tol: float | None = data_field(default=None)
+    update_H: bool = static_field(default=True)
+    lambda_w: float = data_field(default=0.0)
+    lambda_h: float = data_field(default=0.0)
+
+    def __post_init__(self):
+        if isinstance(self.maxiter, int) and self.maxiter <= 1:
+            raise ValueError("maxiter must be greater than 1.")
+        if isinstance(self.tol, (int, float)) and not (self.tol > 0):
+            raise ValueError("tol must be positive.")
+        if isinstance(self.lambda_w, (int, float)) and self.lambda_w < 0:
+            raise ValueError("lambda_w must be non-negative.")
+        if isinstance(self.lambda_h, (int, float)) and self.lambda_h < 0:
+            raise ValueError("lambda_h must be non-negative.")
+
+    def _resolved(self, dtype):
+        from ..utils.dtypes import cbrt_eps
+
+        tol = self.tol if self.tol is not None else cbrt_eps(dtype)
+        return self, tol
+
+    def _solve(self, X, W, H) -> Result:
+        upd, tol = self._resolved(W.dtype)
+        return nmf_skeleton(upd, X, W, H, self.maxiter, self.verbose, tol)
+
+
+class _RowCarry(NamedTuple):
+    delta: jax.Array  # accumulated coordinate steps for this row ("Wnew")
+    G: jax.Array  # this row's gradient
+    S: jax.Array  # proposed steps
+    D: jax.Array  # score of each proposed step
+    qi: jax.Array  # current best coordinate
+    it: jax.Array
+
+
+def _scores(w_row, G_row, denom, Pdiag, dt):
+    """S[r] = max(0, w - G/ (eps + P[r,r])) - w;  D[r] = -G*S - 0.5*P[r,r]*S^2
+    (src/greedycd.jl:125-131)."""
+    zero = jnp.zeros((), dt)
+    S = jnp.maximum(zero, w_row - G_row / denom) - w_row
+    D = -G_row * S - jnp.asarray(0.5, dt) * Pdiag * S * S
+    return S, D
+
+
+def _halfstep(X, W, Ht, lam):
+    """Update ``W`` (rows x k) holding the other factor ``Ht`` (cols x k)
+    fixed — the reference's ``_update_GreedyCD!`` (src/greedycd.jl:94-166)."""
+    dt = W.dtype
+    k = W.shape[1]
+    epsT = jnp.asarray(_eps(dt), dt)
+
+    P = Ht.T @ Ht  # (k, k)
+    Z = X @ Ht  # (rows, k)
+    G = W @ P - Z + jnp.asarray(lam, dt)
+    Pdiag = jnp.diagonal(P)
+    denom = epsT + Pdiag
+
+    S = jnp.maximum(jnp.zeros((), dt), W - G / denom) - W
+    D = -G * S - jnp.asarray(0.5, dt) * Pdiag * S * S
+    q0 = jnp.argmax(D, axis=1)  # first-max, matching Julia argmax
+    # p_init = max(-1, max_i D[i, q_i]) (src/greedycd.jl:132-137)
+    p_init = jnp.maximum(jnp.asarray(-1.0, dt), jnp.max(D))
+    nu = jnp.asarray(0.001, dt)
+    threshold = nu * p_init
+    max_inner = k * k
+
+    def row_solve(w_row, G_row, S_row, D_row, qi0):
+        def cond(c: _RowCarry):
+            return jnp.logical_and(c.it < max_inner, c.D[c.qi] >= threshold)
+
+        def body(c: _RowCarry):
+            step = c.S[c.qi]
+            delta = c.delta.at[c.qi].add(step)
+            G_new = c.G + step * P[c.qi, :]
+            S_new, D_new = _scores(w_row, G_new, denom, Pdiag, dt)
+            return _RowCarry(delta, G_new, S_new, D_new, jnp.argmax(D_new), c.it + 1)
+
+        init = _RowCarry(
+            jnp.zeros((k,), dt), G_row, S_row, D_row, qi0, jnp.zeros((), jnp.int32)
+        )
+        return jax.lax.while_loop(cond, body, init).delta
+
+    delta = jax.vmap(row_solve)(W, G, S, D, q0)
+    # projectnn as a rounding-error countermeasure (src/greedycd.jl:164-165)
+    return projectnn(W + delta)
+
+
+def _prepare(upd: GreedyCD, X, W, H):
+    return ()
+
+
+def _update(upd: GreedyCD, state, X, W, H):
+    W = _halfstep(X, W, H.T, upd.lambda_w)
+    if upd.update_H:
+        H = _halfstep(X.T, H.T, W, upd.lambda_h).T
+    return W, H, state
+
+
+def _objective(upd: GreedyCD, state, X, W, H):
+    """0.5||X-WH||^2 + lambda_w*||W||_1 + lambda_h*||H||_1
+    (src/greedycd.jl:80-92)."""
+    dt = W.dtype
+    r = mse_objective(X, W, H)
+    r = r + jnp.asarray(upd.lambda_w, dt) * jnp.sum(jnp.abs(W))
+    r = r + jnp.asarray(upd.lambda_h, dt) * jnp.sum(jnp.abs(H))
+    return r
+
+
+register_solver(GreedyCD, prepare=_prepare, update=_update, objective=_objective)

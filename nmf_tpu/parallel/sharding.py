@@ -1,0 +1,73 @@
+"""Sharding layout for the NMF problem.
+
+One layout serves every solver (SURVEY.md §2B / §7):
+
+* ``X : P("rows", "cols")`` — the data matrix is 2-D block-sharded;
+* ``W : P("rows", None)``   — row-parallel, k replicated;
+* ``H : P(None, "cols")``   — column-parallel, k replicated;
+* every k x k Gram (W'W, HH', P) and every k-vector is **replicated** —
+  GSPMD materializes them via psum all-reduces over the mesh.
+
+All solver code is sharding-agnostic jnp; placing the inputs with these
+shardings is enough for GSPMD to insert the collectives:
+
+* ``W' X``  (k x n, row-sharded contraction)  -> psum over "rows", result
+  sharded P(None, "cols");
+* ``X H'``  (p x k)                            -> psum over "cols", result
+  sharded P("rows", None);
+* ``W' W`` / ``H H'``                          -> psum to replicated k x k;
+* elementwise factor updates stay local; the convergence test is two
+  k-vector reductions + a scalar all-reduce.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import COLS, ROWS
+
+__all__ = [
+    "x_sharding",
+    "w_sharding",
+    "h_sharding",
+    "replicated",
+    "shard_problem",
+    "constrain",
+]
+
+
+def x_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(ROWS, COLS))
+
+
+def w_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(ROWS, None))
+
+
+def h_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(None, COLS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_problem(mesh: Mesh, X, W, H):
+    """Place (X, W, H) with the canonical layout."""
+    X = jax.device_put(X, x_sharding(mesh))
+    W = jax.device_put(W, w_sharding(mesh))
+    H = jax.device_put(H, h_sharding(mesh))
+    return X, W, H
+
+
+def constrain(mesh: Mesh, X=None, W=None, H=None):
+    """``with_sharding_constraint`` helpers for use inside jitted bodies."""
+    out = []
+    if X is not None:
+        out.append(jax.lax.with_sharding_constraint(X, x_sharding(mesh)))
+    if W is not None:
+        out.append(jax.lax.with_sharding_constraint(W, w_sharding(mesh)))
+    if H is not None:
+        out.append(jax.lax.with_sharding_constraint(H, h_sharding(mesh)))
+    return tuple(out) if len(out) != 1 else out[0]
