@@ -15,6 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..ops import matops
 from ..ops.rsvd import rsvd
 from ..utils.numeric import normalize1_cols
 
@@ -106,7 +107,8 @@ def nndsvd(X, k: int, *, zeroh: bool = False, variant: str = "std", initdata=Non
     factorization); otherwise a randomized SVD is computed on-device.
     ``variant`` is one of "std", "a", "ar".
     """
-    X = jnp.asarray(X)
+    if not matops.is_sparse(X):
+        X = jnp.asarray(X)
     dt = X.dtype
     n = X.shape[1]
     ivar = {"std": 0, "a": 1, "ar": 2}.get(variant)
@@ -127,7 +129,7 @@ def nndsvd(X, k: int, *, zeroh: bool = False, variant: str = "std", initdata=Non
         s = jnp.asarray(s)[:k]
         V = jnp.asarray(V)[:, :k]
 
-    meanX = jnp.mean(X)
+    meanX = matops.mean(X)
     if zeroh:
         W, _ = _nndsvd_factors(U, s, V, meanX, ivar, False, kar, dt)
         H = jnp.zeros((k, n), dt)

@@ -33,6 +33,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ops import matops
 from ..ops.objectives import mse_objective
 from ..utils.dtypes import cbrt_eps, eps as _eps, quartic_root_eps
 from .common import Result, data_field, nmf_skeleton, register_solver, static_field
@@ -154,14 +155,14 @@ def _pg_subsolve(AtA, AtB, Y0, maxiter, traceiter, tolg, beta, sigma, verbose=Fa
 @jax.jit
 def _pg_solve_h(X, W, H, maxiter, traceiter, tolg, beta, sigma):
     WtW = W.T @ W
-    WtX = W.T @ X
+    WtX = matops.mtm(W.T, X)
     return _pg_subsolve(WtW, WtX, H, maxiter, traceiter, tolg, beta, sigma)
 
 
 @jax.jit
 def _pg_solve_w(X, W, H, maxiter, traceiter, tolg, beta, sigma):
     HHt = H @ H.T
-    XHt = X @ H.T
+    XHt = matops.mm(X, H.T)
     Wt, t = _pg_subsolve(HHt, XHt.T, W.T, maxiter, traceiter, tolg, beta, sigma)
     return Wt.T, t
 
@@ -254,14 +255,14 @@ def _update(upd: ALSPGrad, state, X, W, H):
 
     if upd.update_H:
         WtW = W.T @ W
-        WtX = W.T @ X
+        WtX = matops.mtm(W.T, X)
         H, iterH = _pg_subsolve(
             WtW, WtX, H, upd.maxsubiter, traceiter, tolg, beta, sigma
         )
         tolg = jnp.where(iterH == 1, tolg * jnp.asarray(0.1, dt), tolg)
 
     HHt = H @ H.T
-    XHt = X @ H.T
+    XHt = matops.mm(X, H.T)
     Wt, iterW = _pg_subsolve(
         HHt, XHt.T, W.T, upd.maxsubiter, traceiter, tolg, beta, sigma
     )

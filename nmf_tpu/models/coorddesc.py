@@ -26,6 +26,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
+from ..ops import matops
 from ..ops.objectives import mse_objective
 from .common import Result, data_field, nmf_skeleton, register_solver, static_field
 
@@ -94,7 +95,7 @@ def _halfstep(X, W, H, l1, l2, perm):
     k = H.shape[0]
     eye = jnp.eye(k, dtype=dt)
     HHt = H @ H.T + l2 * eye
-    XHt = X @ H.T - l1
+    XHt = matops.mm(X, H.T) - l1
     Pdiag = jnp.diagonal(HHt)
 
     def body(t, W):
@@ -134,7 +135,7 @@ def _update(upd: CoordinateDescent, state, X, W, H):
 
     W = _halfstep(X, W, H, l1W, l2W, permW)
     if upd.update_H:
-        H = _halfstep(X.T, H.T, W.T, l1H, l2H, permH).T
+        H = _halfstep(matops.transpose(X), H.T, W.T, l1H, l2H, permH).T
     return W, H, (key,)
 
 

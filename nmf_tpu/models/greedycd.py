@@ -27,6 +27,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ops import matops
 from ..ops.objectives import mse_objective
 from ..utils.dtypes import eps as _eps
 from ..utils.numeric import projectnn
@@ -95,7 +96,7 @@ def _halfstep(X, W, Ht, lam):
     epsT = jnp.asarray(_eps(dt), dt)
 
     P = Ht.T @ Ht  # (k, k)
-    Z = X @ Ht  # (rows, k)
+    Z = matops.mm(X, Ht)  # (rows, k)
     G = W @ P - Z + jnp.asarray(lam, dt)
     Pdiag = jnp.diagonal(P)
     denom = epsT + Pdiag
@@ -137,7 +138,7 @@ def _prepare(upd: GreedyCD, X, W, H):
 def _update(upd: GreedyCD, state, X, W, H):
     W = _halfstep(X, W, H.T, upd.lambda_w)
     if upd.update_H:
-        H = _halfstep(X.T, H.T, W, upd.lambda_h).T
+        H = _halfstep(matops.transpose(X), H.T, W, upd.lambda_h).T
     return W, H, state
 
 

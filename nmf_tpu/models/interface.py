@@ -44,7 +44,14 @@ _INITS = ("random", "nndsvd", "nndsvda", "nndsvdar", "spa", "custom")
 
 
 def _check_nonneg(A, name):
-    ok = bool(jnp.all(A >= 0)) if hasattr(A, "dtype") else np.all(np.asarray(A) >= 0)
+    from ..ops import matops
+
+    if matops.is_sparse(A):
+        ok = bool(matops.all_nonneg(A))
+    elif hasattr(A, "dtype"):
+        ok = bool(jnp.all(A >= 0))
+    else:
+        ok = np.all(np.asarray(A) >= 0)
     if not ok:
         raise ValueError(f"The elements of {name} must be non-negative.")
 
@@ -73,7 +80,10 @@ def nnmf(
     Mirrors the reference ``nnmf`` (src/interf.jl:3-83) — same validation,
     same init/alg dispatch, same replicate policy, same ``Result`` contract.
     """
-    X = jnp.asarray(X) if not hasattr(X, "dtype") else X
+    from ..ops import matops
+
+    if not (hasattr(X, "dtype") or matops.is_sparse(X)):
+        X = jnp.asarray(X)
     T = X.dtype
     p, n = X.shape
 

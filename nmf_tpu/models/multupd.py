@@ -25,6 +25,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
+from ..ops import matops
 from ..ops.objectives import kl_objective, mse_objective
 from ..utils.dtypes import sqrt_eps
 from .common import Result, data_field, nmf_skeleton, register_solver, static_field
@@ -96,11 +97,11 @@ def _update_mse(upd: MultUpdate, state, X, W, H):
     lam_h = jnp.asarray(upd.lambda_h, dt)
 
     if upd.update_H:
-        WtX = W.T @ X
+        WtX = matops.mtm(W.T, X)
         WtWH = (W.T @ W) @ H
         H = H * (jnp.maximum(zero, WtX - lam_h) / (WtWH + delta))
 
-    XHt = X @ H.T
+    XHt = matops.mm(X, H.T)
     WHHt = W @ (H @ H.T)
     W = W * (jnp.maximum(zero, XHt - lam_w) / (WHHt + delta))
     return W, H, state
@@ -117,14 +118,22 @@ def _update_div(upd: MultUpdate, state, X, W, H):
     lam_w = jnp.maximum(jnp.asarray(upd.lambda_w, dt), delta)
     lam_h = jnp.maximum(jnp.asarray(upd.lambda_h, dt), delta)
 
+    def quotient(W, H):
+        # Q = X ./ (WH + delta); for sparse X this is an SDDMM at X's
+        # pattern (0/y = 0) and the dense p x n WH is never formed.
+        if matops.is_sparse(X):
+            wh_at_nnz = matops.sddmm(W, H, X)
+            return matops.scale_values(X, matops.nnz_values(X) / (wh_at_nnz + delta))
+        return X / (W @ H + delta)
+
     if upd.update_H:
-        Q = X / (W @ H + delta)
-        WtQ = W.T @ Q
+        Q = quotient(W, H)
+        WtQ = matops.mtm(W.T, Q)
         sW = jnp.sum(W, axis=0)  # (k,)
         H = H * (WtQ / (sW[:, None] + lam_h))
 
-    Q = X / (W @ H + delta)
-    QHt = Q @ H.T
+    Q = quotient(W, H)
+    QHt = matops.mm(Q, H.T)
     sH = jnp.sum(H, axis=1)  # (k,)
     W = W * (QHt / (sH[None, :] + lam_w))
     return W, H, state

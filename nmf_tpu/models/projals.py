@@ -19,6 +19,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
+from ..ops import matops
 from ..ops.linalg import pdrsolve, pdsolve
 from ..ops.objectives import mse_objective
 from ..utils.numeric import projectnn
@@ -73,10 +74,10 @@ def _update(upd: ProjectedALS, state, X, W, H):
 
     if upd.update_H:
         WtW = W.T @ W + lam_h * eye
-        H = projectnn(pdsolve(WtW, W.T @ X))
+        H = projectnn(pdsolve(WtW, matops.mtm(W.T, X)))
 
     HHt = H @ H.T + lam_w * eye
-    W = projectnn(pdrsolve(X @ H.T, HHt))
+    W = projectnn(pdrsolve(matops.mm(X, H.T), HHt))
     return W, H, state
 
 

@@ -52,12 +52,63 @@ def _spa_anchors_k(X, k: int):
     return ai
 
 
+@partial(jax.jit, static_argnums=1)
+def _spa_anchors_sparse(X, k: int):
+    """Anchor selection for sparse X without materializing the dense residual.
+
+    Deflating ``R <- R - p(p'R)/(p'p)`` j times leaves
+    ``R = (I - proj span{x_a1..x_aj}) Xn``, so instead of updating R we keep
+    an orthonormal basis Q of the selected columns' span and track only the
+    residual column norms: ``||r_c||^2 = ||x_c||^2 - sum_i (q_i' x_c)^2``.
+    Each round costs one sparse column extract + one sparse matvec —
+    O(k * nnz) total, no p x n dense traffic.
+    """
+    from ..ops import matops
+
+    dt = X.dtype
+    p, n = X.shape
+    cs = matops.colsums(X)
+    inv_cs = jnp.where(cs != 0, 1.0 / jnp.where(cs != 0, cs, 1), 0)
+    # Xn = X with columns scaled to sum 1 (src/spa.jl:44)
+    vals = matops.nnz_values(X)
+    cols = X.indices[:, 1]
+    Xn = matops.scale_values(X, vals * inv_cs[cols])
+
+    # column squared norms of Xn
+    norms2 = jnp.zeros((n,), dt).at[cols].add(matops.nnz_values(Xn) ** 2)
+
+    def body(j, carry):
+        norms2, Qb, ai = carry
+        a = jnp.argmax(norms2)
+        onehot = jnp.zeros((n,), dt).at[a].set(1)
+        x_a = matops.mm(Xn, onehot[:, None])[:, 0]  # (p,) selected column
+        r = x_a - Qb @ (Qb.T @ x_a)
+        q = r / jnp.maximum(jnp.linalg.norm(r), jnp.finfo(dt).tiny)
+        proj = matops.mtm(q[None, :], Xn)[0]  # (n,) q' Xn
+        norms2 = jnp.maximum(norms2 - proj * proj, 0)
+        Qb = Qb.at[:, j].set(q)
+        return norms2, Qb, ai.at[j].set(a.astype(jnp.int32))
+
+    _, _, ai = jax.lax.fori_loop(
+        0, k, body, (norms2, jnp.zeros((p, k), dt), jnp.zeros((k,), jnp.int32))
+    )
+    return ai
+
+
 def spa(X, k: int):
     """SPA initialization: returns ``(W, H)`` with ``W = X[:, anchors]`` and
-    ``H = argmin_{H>=0} ||X - W H||`` via batched FNNLS (src/spa.jl:41-68)."""
-    X = jnp.asarray(X)
-    ai = _spa_anchors_k(X, int(k))
-    W = jnp.take(X, ai, axis=1)
+    ``H = argmin_{H>=0} ||X - W H||`` via batched FNNLS (src/spa.jl:41-68).
+    Sparse X uses the basis-tracking anchor selection (no dense residual)."""
+    from ..ops import matops
+
+    if matops.is_sparse(X):
+        ai = _spa_anchors_sparse(X, int(k))
+        onehots = jax.nn.one_hot(ai, X.shape[1], dtype=X.dtype).T  # (n, k)
+        W = matops.mm(X, onehots)
+    else:
+        X = jnp.asarray(X)
+        ai = _spa_anchors_k(X, int(k))
+        W = jnp.take(X, ai, axis=1)
     H = projectnn(fnnls(W, X))
     return W, H
 

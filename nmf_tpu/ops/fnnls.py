@@ -20,6 +20,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from . import matops
+
 __all__ = ["fnnls", "nnls_gram"]
 
 
@@ -139,7 +141,9 @@ def fnnls(A, B, *, precise: bool = True):
     if precise and jax.config.jax_enable_x64:
         work_dt = jnp.float64
     Aw = A.astype(work_dt)
-    Bw = B.astype(work_dt)
     AtA = Aw.T @ Aw
-    AtB = Aw.T @ Bw
+    if matops.is_sparse(B):
+        AtB = matops.mtm(Aw.T, matops.scale_values(B, matops.nnz_values(B).astype(work_dt)))
+    else:
+        AtB = Aw.T @ B.astype(work_dt)
     return nnls_gram(AtA, AtB).astype(dt)

@@ -1,0 +1,143 @@
+"""Matrix-product abstraction over dense and sparse (BCOO) data matrices.
+
+The reference claims sparse support by genericity: its solvers touch X only
+through ``mul!`` and elementwise loops, so Julia sparse matrices work
+(SURVEY.md §2A "Genericity", reference README "Sparse NMF — Done").  Here the
+same role is played by this module: every solver routes its X-products
+through these functions, so any X supported here works in every solver.
+
+Sparse design (TPU-first):
+
+* ``X @ H'`` and ``W' X`` are sparse-dense matmuls (``bcoo_dot_general``);
+* the divergence updater's quotient ``Q = X ./ (WH + delta)`` has **X's
+  sparsity pattern** (0/y = 0), so it is an SDDMM: sample ``W @ H`` at X's
+  indices (``bcoo_dot_general_sampled``), divide into X's values — the p x n
+  dense WH is never formed;
+* objectives use the expansion ``||X - WH||^2 = ||X||^2 - 2<X, WH> +
+  <W'W, HH'>`` with the inner product sampled at nnz, and
+  ``sum(WH) = colsum(W) . rowsum(H)`` for the KL mass term.
+
+A custom Pallas CSR gather-matmul backend can be slotted behind ``mm``/
+``sddmm`` without touching any solver.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import sparse as jsparse
+
+    BCOO = jsparse.BCOO
+except Exception:  # pragma: no cover
+    jsparse = None
+    BCOO = ()
+
+__all__ = [
+    "is_sparse",
+    "mm",
+    "mtm",
+    "sddmm",
+    "scale_values",
+    "sq_norm",
+    "total_sum",
+    "colsums",
+    "rowsums",
+    "nnz_values",
+    "all_nonneg",
+    "transpose",
+    "mean",
+]
+
+
+def is_sparse(X) -> bool:
+    return jsparse is not None and isinstance(X, jsparse.JAXSparse)
+
+
+def _as_bcoo(X):
+    if isinstance(X, BCOO):
+        return X
+    return X.to_bcoo() if hasattr(X, "to_bcoo") else X
+
+
+def mm(X, D):
+    """``X @ D`` for dense or sparse X (dense result)."""
+    if is_sparse(X):
+        return jsparse.bcoo_dot_general(
+            _as_bcoo(X), D, dimension_numbers=(((1,), (0,)), ((), ()))
+        )
+    return X @ D
+
+
+def mtm(D, X):
+    """``D @ X`` with D dense (used as ``W.T @ X``; dense result)."""
+    if is_sparse(X):
+        # (X' @ D')' with the sparse operand on the left keeps BCOO fast paths.
+        Xt = transpose(X)
+        return jsparse.bcoo_dot_general(
+            Xt, D.T, dimension_numbers=(((1,), (0,)), ((), ()))
+        ).T
+    return D @ X
+
+
+def sddmm(W, H, X):
+    """Values of ``(W @ H)`` sampled at X's nonzero positions, as a vector
+    aligned with ``nnz_values(X)`` (only valid for sparse X)."""
+    Xb = _as_bcoo(X)
+    return jsparse.bcoo_dot_general_sampled(
+        W, H, Xb.indices, dimension_numbers=(((1,), (0,)), ((), ()))
+    )
+
+
+def scale_values(X, new_values):
+    """Sparse X with the same pattern but new values."""
+    Xb = _as_bcoo(X)
+    return BCOO((new_values, Xb.indices), shape=Xb.shape)
+
+
+def nnz_values(X):
+    return _as_bcoo(X).data
+
+
+def sq_norm(X):
+    """``sum(X**2)``."""
+    if is_sparse(X):
+        v = nnz_values(X)
+        return jnp.sum(v * v)
+    return jnp.sum(X * X)
+
+
+def total_sum(X):
+    if is_sparse(X):
+        return jnp.sum(nnz_values(X))
+    return jnp.sum(X)
+
+
+def mean(X):
+    return total_sum(X) / (X.shape[0] * X.shape[1])
+
+
+def colsums(X):
+    """(n,) column sums."""
+    if is_sparse(X):
+        return jsparse.bcoo_reduce_sum(_as_bcoo(X), axes=(0,)).todense()
+    return jnp.sum(X, axis=0)
+
+
+def rowsums(X):
+    """(p,) row sums."""
+    if is_sparse(X):
+        return jsparse.bcoo_reduce_sum(_as_bcoo(X), axes=(1,)).todense()
+    return jnp.sum(X, axis=1)
+
+
+def all_nonneg(X):
+    if is_sparse(X):
+        return jnp.all(nnz_values(X) >= 0)
+    return jnp.all(X >= 0)
+
+
+def transpose(X):
+    if is_sparse(X):
+        return jsparse.bcoo_transpose(_as_bcoo(X), permutation=(1, 0))
+    return X.T

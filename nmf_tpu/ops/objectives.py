@@ -78,8 +78,20 @@ def _blockwise_sum(X, W, H, tilefun):
 
 def mse_objective(X, W, H):
     """``0.5 * ||X - W@H||_F^2`` — the reference's MSE objective
-    (0.5 * sqL2dist, src/multupd.jl:81)."""
-    half = jnp.asarray(0.5, X.dtype)
+    (0.5 * sqL2dist, src/multupd.jl:81).
+
+    Sparse X: uses ``||X||^2 - 2<X, WH> + <W'W, HH'>`` with the inner
+    product sampled at the nonzeros (SDDMM) — WH is never materialized.
+    """
+    from . import matops
+
+    half = jnp.asarray(0.5, W.dtype)
+    if matops.is_sparse(X):
+        xv = matops.nnz_values(X)
+        wh_at_nnz = matops.sddmm(W, H, X)
+        cross = jnp.vdot(xv, wh_at_nnz)
+        wh_sq = jnp.vdot(W.T @ W, H @ H.T)
+        return half * (jnp.vdot(xv, xv) - 2 * cross + wh_sq)
     if X.size <= _SMALL:
         return half * sqL2dist(X, W @ H)
     return half * _blockwise_sum(X, W, H, sqL2dist)
@@ -87,8 +99,24 @@ def mse_objective(X, W, H):
 
 def kl_objective(X, W, H, delta=None):
     """``gkldiv(X, W@H)`` — the reference's divergence objective
-    (src/multupd.jl:148).  ``delta`` optionally guards log(0) for tiles where
-    WH underflows to 0 (the reference relies on IEEE inf/nan there)."""
+    (src/multupd.jl:148).
+
+    Sparse X: ``sum_{x>0}[x log(x/wh) - x] + sum_all(wh)`` with wh sampled
+    at the nonzeros and ``sum_all(wh) = colsum(W) . rowsum(H)``.
+    """
+    from . import matops
+
+    if matops.is_sparse(X):
+        xv = matops.nnz_values(X)
+        wh_at_nnz = matops.sddmm(W, H, X)
+        pos = xv > 0
+        safe_x = jnp.where(pos, xv, 1)
+        safe_wh = jnp.where(wh_at_nnz > 0, wh_at_nnz, 1)
+        nnz_term = jnp.sum(
+            jnp.where(pos, safe_x * (jnp.log(safe_x) - jnp.log(safe_wh)) - xv, 0)
+        )
+        mass = jnp.vdot(jnp.sum(W, axis=0), jnp.sum(H, axis=1))
+        return nnz_term + mass
     if X.size <= _SMALL:
         return gkldiv(X, W @ H)
     return _blockwise_sum(X, W, H, gkldiv)

@@ -18,6 +18,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from . import matops
+
 __all__ = ["rsvd"]
 
 
@@ -27,12 +29,13 @@ def _rsvd_impl(X, key, k, oversample, n_iter):
     l = min(k + oversample, min(p, n))
     dt = X.dtype
     omega = jax.random.normal(key, (n, l), dtype=dt)
-    Y = X @ omega  # (p, l) sketch
+    Y = matops.mm(X, omega)  # (p, l) sketch
     Q, _ = jnp.linalg.qr(Y)
+    Xt = matops.transpose(X)
     for _ in range(n_iter):
-        Z, _ = jnp.linalg.qr(X.T @ Q)
-        Q, _ = jnp.linalg.qr(X @ Z)
-    B = Q.T @ X  # (l, n)
+        Z, _ = jnp.linalg.qr(matops.mm(Xt, Q))
+        Q, _ = jnp.linalg.qr(matops.mm(X, Z))
+    B = matops.mtm(Q.T, X)  # (l, n)
     Ub, s, Vt = jnp.linalg.svd(B, full_matrices=False)
     U = Q @ Ub
     return U[:, :k], s[:k], Vt[:k, :].T
@@ -44,5 +47,6 @@ def rsvd(X, k: int, *, oversample: int = 10, n_iter: int = 2, key=None):
     (src/initialization.jl:83)."""
     if key is None:
         key = jax.random.PRNGKey(0)
-    X = jnp.asarray(X)
+    if not matops.is_sparse(X):
+        X = jnp.asarray(X)
     return _rsvd_impl(X, key, int(k), int(oversample), int(n_iter))
