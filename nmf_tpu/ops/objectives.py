@@ -84,6 +84,7 @@ def mse_objective(X, W, H):
     product sampled at the nonzeros (SDDMM) — WH is never materialized.
     """
     from . import matops
+    from .. import config as _config
 
     half = jnp.asarray(0.5, W.dtype)
     if matops.is_sparse(X):
@@ -92,6 +93,10 @@ def mse_objective(X, W, H):
         cross = jnp.vdot(xv, wh_at_nnz)
         wh_sq = jnp.vdot(W.T @ W, H @ H.T)
         return half * (jnp.vdot(xv, xv) - 2 * cross + wh_sq)
+    if _config.pallas_enabled() and X.size > _SMALL:
+        from .pallas.objectives import mse_objective_pallas
+
+        return mse_objective_pallas(X, W, H)
     if X.size <= _SMALL:
         return half * sqL2dist(X, W @ H)
     return half * _blockwise_sum(X, W, H, sqL2dist)
@@ -117,6 +122,12 @@ def kl_objective(X, W, H, delta=None):
         )
         mass = jnp.vdot(jnp.sum(W, axis=0), jnp.sum(H, axis=1))
         return nnz_term + mass
+    from .. import config as _config
+
+    if _config.pallas_enabled() and X.size > _SMALL:
+        from .pallas.objectives import kl_objective_pallas
+
+        return kl_objective_pallas(X, W, H)
     if X.size <= _SMALL:
         return gkldiv(X, W @ H)
     return _blockwise_sum(X, W, H, gkldiv)
