@@ -1,13 +1,20 @@
 """Benchmark harness — prints ONE JSON line.
 
-Headline config (BASELINE.json configs[0]): dense 500x500 X, rank-8, MU-MSE,
-100 iterations.  Metric: iterations/sec of the full jitted solve loop
-(including the per-iteration convergence test, matching the reference's
-nmf_skeleton semantics).
+Headline config (BASELINE.json configs[0]): dense 500x500 X, rank-8, MU-MSE.
+Metric: iterations/sec of the full jitted solve loop (including the
+per-iteration convergence test, matching the reference's nmf_skeleton
+semantics).
+
+Timing methodology: on this TPU the runtime's ``block_until_ready`` does not
+synchronize with device completion (tunnel transport), so we (a) force a
+device->host readback of the final objective and (b) time *differentially* —
+run N_small and N_big iterations and divide the elapsed-time delta by the
+iteration delta, which cancels the fixed dispatch+readback latency (~30-50ms)
+out of the measurement.
 
 ``vs_baseline`` is the speedup over a reference-equivalent implementation:
-the same Lee-Seung MU-MSE sweep + stop-condition written in numpy on CPU
-BLAS — the exact performance layer the Julia reference sits on
+the same Lee-Seung MU-MSE sweep + stop-condition in numpy on CPU BLAS — the
+exact performance layer the Julia reference sits on
 (/root/reference/src/multupd.jl:96-115 via LinearAlgebra.mul!).
 """
 
@@ -17,8 +24,8 @@ import time
 import numpy as np
 
 P, N, K = 500, 500, 8
-ITERS = 100
 DTYPE = np.float32
+N_SMALL, N_BIG = 100, 2100
 
 
 def numpy_baseline(X, W, H, iters):
@@ -64,23 +71,22 @@ def main():
     Hd = jnp.asarray(H0)
     tol = jnp.asarray(1e-30, DTYPE)
 
-    # warm-up / compile (maxiter is traced: same executable as the timed run)
-    jax.block_until_ready(
-        _solve_while(upd, Xd, Wd, Hd, jnp.asarray(2, jnp.int32), tol)
-    )
-    best = float("inf")
-    for _ in range(3):
+    def run(iters):
         t0 = time.perf_counter()
-        out = _solve_while(upd, Xd, Wd, Hd, jnp.asarray(ITERS, jnp.int32), tol)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    its_per_sec = ITERS / best
-    objv_tpu = float(out[4])
+        out = _solve_while(upd, Xd, Wd, Hd, jnp.asarray(iters, jnp.int32), tol)
+        objv = float(out[4])  # forced device->host readback
+        return time.perf_counter() - t0, objv, int(out[2])
 
-    base_its, objv_np = numpy_baseline(X.copy(), W0.copy(), H0.copy(), ITERS)
+    run(2)  # compile + warm (maxiter is traced: same executable)
+    t_small = min(run(N_SMALL)[0] for _ in range(3))
+    t_big, objv_tpu, niters = min(run(N_BIG) for _ in range(3))
+    assert niters == N_BIG, f"early exit at {niters}"
+    its_per_sec = (N_BIG - N_SMALL) / (t_big - t_small)
 
-    rel = abs(objv_tpu - float(objv_np)) / max(float(objv_np), 1e-30)
-    assert rel < 0.05, f"convergence mismatch vs baseline: {objv_tpu} vs {objv_np}"
+    base_its, objv_np = numpy_baseline(X.copy(), W0.copy(), H0.copy(), N_SMALL)
+    out100 = _solve_while(upd, Xd, Wd, Hd, jnp.asarray(N_SMALL, jnp.int32), tol)
+    rel = abs(float(out100[4]) - float(objv_np)) / max(float(objv_np), 1e-30)
+    assert rel < 0.05, f"convergence mismatch vs baseline at {N_SMALL} iters: {rel}"
 
     print(
         json.dumps(

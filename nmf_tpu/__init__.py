@@ -16,7 +16,8 @@ collectives inserted by GSPMD.
 """
 
 from .models.alspgrad import ALSPGrad, alspgrad_updateh, alspgrad_updatew
-from .models.common import Result, solve, stop_condition
+from .models.checkpoint import solve_checkpointed
+from .models.common import Result, Trace, solve, stop_condition
 from .models.coorddesc import CoordinateDescent
 from .models.greedycd import GreedyCD
 from .models.interface import nnmf, solve_replicates
@@ -42,7 +43,9 @@ __version__ = "0.1.0"
 __all__ = [
     "nnmf",
     "Result",
+    "Trace",
     "solve",
+    "solve_checkpointed",
     "solve_replicates",
     "stop_condition",
     "MultUpdate",

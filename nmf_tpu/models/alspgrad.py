@@ -234,9 +234,9 @@ class ALSPGrad:
         )
         return upd, upd.tol
 
-    def _solve(self, X, W, H) -> Result:
+    def _solve(self, X, W, H, trace: bool = False) -> Result:
         upd, tol = self._resolved(W.dtype)
-        return nmf_skeleton(upd, X, W, H, upd.maxiter, upd.verbose, tol)
+        return nmf_skeleton(upd, X, W, H, upd.maxiter, upd.verbose, tol, trace)
 
 
 def _prepare(upd: ALSPGrad, X, W, H):

@@ -38,6 +38,7 @@ from ..utils.numeric import safe_div
 
 __all__ = [
     "Result",
+    "Trace",
     "stop_condition",
     "nmf_skeleton",
     "register_solver",
@@ -67,15 +68,25 @@ def data_field(**kw):
 # Result
 
 
+class Trace(NamedTuple):
+    """Per-iteration history (TPU-build extension of the reference's verbose
+    table, src/common.jl:76-82): entry t holds the objective and the W&H
+    relative change after iteration t+1; NaN beyond ``niters``."""
+
+    objvalue: Any
+    relchange: Any
+
+
 class Result:
     """Outcome of an NMF solve — mirrors the reference ``Result{T}``
     (src/common.jl:21-38): factors, iteration count, convergence flag and the
     final objective value, with value-semantic ``==`` and ``hash``
-    (src/common.jl:37-38)."""
+    (src/common.jl:37-38).  ``trace`` (extension) optionally carries the
+    per-iteration history and is excluded from equality/hashing."""
 
-    __slots__ = ("W", "H", "niters", "converged", "objvalue")
+    __slots__ = ("W", "H", "niters", "converged", "objvalue", "trace")
 
-    def __init__(self, W, H, niters, converged, objvalue):
+    def __init__(self, W, H, niters, converged, objvalue, trace=None):
         if W.shape[1] != H.shape[0]:
             raise ValueError("Inner dimensions of W and H mismatch.")
         self.W = W
@@ -83,6 +94,7 @@ class Result:
         self.niters = int(niters)
         self.converged = bool(converged)
         self.objvalue = float(objvalue)
+        self.trace = trace
 
     def __eq__(self, other):
         if not isinstance(other, Result):
@@ -190,33 +202,89 @@ class _Carry(NamedTuple):
 
 
 @jax.jit
-def _solve_while(upd, X, W, H, maxiter, tol):
-    """Whole solve as one on-device while_loop.  Matches the reference loop
-    (src/common.jl:64-83): t increments, update, convergence test; the
-    objective is evaluated once on the final factors (src/common.jl:85-87)."""
+def _solve_while_from(upd, state, X, W, H, t0, maxiter, tol):
+    """Resumable core: run the while_loop from iteration ``t0`` with an
+    existing solver state.  Returns the final carry pieces including the
+    solver state, so a host driver can checkpoint and continue with identical
+    semantics (ALSPGrad's decaying tolg, CD's shuffle key, ... live in
+    ``state``)."""
     impl = _impl_for(upd)
-    state = impl.prepare(upd, X, W, H)
     dt = W.dtype
 
     def cond(c: _Carry):
         return jnp.logical_and(~c.converged, c.t < maxiter)
 
     def body(c: _Carry):
-        Wn, Hn, sn = impl.update(upd, c.state, X, c.W, c.H)
-        converged, dev = stop_condition(Wn, c.W, Hn, c.H, tol)
+        with jax.named_scope("nmf_update"):
+            Wn, Hn, sn = impl.update(upd, c.state, X, c.W, c.H)
+        with jax.named_scope("nmf_stop_condition"):
+            converged, dev = stop_condition(Wn, c.W, Hn, c.H, tol)
         return _Carry(Wn, Hn, sn, c.t + 1, converged, dev)
 
     init = _Carry(
         W,
         H,
         state,
-        jnp.zeros((), jnp.int32),
+        jnp.asarray(t0, jnp.int32),
         jnp.zeros((), bool),
         jnp.zeros((), dt),
     )
     final = jax.lax.while_loop(cond, body, init)
+    with jax.named_scope("nmf_objective"):
+        objv = impl.objective(upd, final.state, X, final.W, final.H)
+    return final.W, final.H, final.state, final.t, final.converged, objv
+
+
+@jax.jit
+def _solve_while(upd, X, W, H, maxiter, tol):
+    """Whole solve as one on-device while_loop.  Matches the reference loop
+    (src/common.jl:64-83): t increments, update, convergence test; the
+    objective is evaluated once on the final factors (src/common.jl:85-87)."""
+    impl = _impl_for(upd)
+    state = impl.prepare(upd, X, W, H)
+    W, H, state, t, converged, objv = _solve_while_from(
+        upd, state, X, W, H, 0, maxiter, tol
+    )
+    return W, H, t, converged, objv
+
+
+@partial(jax.jit, static_argnames=("maxiter",))
+def _solve_while_traced(upd, X, W, H, maxiter: int, tol):
+    """Like _solve_while but records per-iteration (objective, relchange)
+    history — the returned-history analogue of the reference's verbose trace
+    table (src/common.jl:76-82).  maxiter is static (it sizes the history)."""
+    impl = _impl_for(upd)
+    state = impl.prepare(upd, X, W, H)
+    dt = W.dtype
+
+    class _TCarry(NamedTuple):
+        c: _Carry
+        objv_hist: jax.Array
+        dev_hist: jax.Array
+
+    def cond(tc: _TCarry):
+        return jnp.logical_and(~tc.c.converged, tc.c.t < maxiter)
+
+    def body(tc: _TCarry):
+        c = tc.c
+        Wn, Hn, sn = impl.update(upd, c.state, X, c.W, c.H)
+        converged, dev = stop_condition(Wn, c.W, Hn, c.H, tol)
+        objv = impl.objective(upd, sn, X, Wn, Hn)
+        return _TCarry(
+            _Carry(Wn, Hn, sn, c.t + 1, converged, dev),
+            tc.objv_hist.at[c.t].set(objv),
+            tc.dev_hist.at[c.t].set(dev),
+        )
+
+    init = _TCarry(
+        _Carry(W, H, state, jnp.zeros((), jnp.int32), jnp.zeros((), bool), jnp.zeros((), dt)),
+        jnp.full((maxiter,), jnp.nan, dt),
+        jnp.full((maxiter,), jnp.nan, dt),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    final = out.c
     objv = impl.objective(upd, final.state, X, final.W, final.H)
-    return final.W, final.H, final.t, final.converged, objv
+    return final.W, final.H, final.t, final.converged, objv, out.objv_hist, out.dev_hist
 
 
 @jax.jit
@@ -237,14 +305,20 @@ def _objective(upd, state, X, W, H):
     return _impl_for(upd).objective(upd, state, X, W, H)
 
 
-def nmf_skeleton(upd, X, W, H, maxiter, verbose, tol) -> Result:
+def nmf_skeleton(upd, X, W, H, maxiter, verbose, tol, trace: bool = False) -> Result:
     """Run the shared iteration skeleton and wrap the outcome in a Result.
 
     ``upd`` is an options pytree previously hooked up via
     :func:`register_solver`.  ``maxiter`` and ``tol`` are traced, so sweeping
-    them does not recompile.
+    them does not recompile (except with ``trace=True``, where maxiter sizes
+    the history buffers).
     """
     tol = jnp.asarray(tol, W.dtype)
+    if trace:
+        W, H, t, converged, objv, objv_hist, dev_hist = _solve_while_traced(
+            upd, X, W, H, int(maxiter), tol
+        )
+        return Result(W, H, t, converged, objv, trace=Trace(objv_hist, dev_hist))
     if not verbose:
         W, H, t, converged, objv = _solve_while(upd, X, W, H, maxiter, tol)
         return Result(W, H, t, converged, objv)
@@ -274,8 +348,9 @@ def nmf_skeleton(upd, X, W, H, maxiter, verbose, tol) -> Result:
     return Result(W, H, t, converged, objv)
 
 
-def solve(alg, X, W, H) -> Result:
+def solve(alg, X, W, H, trace: bool = False) -> Result:
     """Solve NMF with a configured algorithm object (the reference's
     ``NMF.solve!(alg, X, W, H)``, e.g. src/multupd.jl:45-52).  Returns a new
-    Result; unlike the reference nothing is mutated in place."""
-    return alg._solve(X, W, H)
+    Result; unlike the reference nothing is mutated in place.  ``trace=True``
+    attaches per-iteration history (Result.trace)."""
+    return alg._solve(X, W, H, trace)

@@ -72,9 +72,9 @@ class CoordinateDescent:
             upd = dataclasses.replace(self, key=jax.random.PRNGKey(0))
         return upd, tol
 
-    def _solve(self, X, W, H) -> Result:
+    def _solve(self, X, W, H, trace: bool = False) -> Result:
         upd, tol = self._resolved(W.dtype)
-        return nmf_skeleton(upd, X, W, H, self.maxiter, self.verbose, tol)
+        return nmf_skeleton(upd, X, W, H, self.maxiter, self.verbose, tol, trace)
 
 
 def _regsplit(upd: CoordinateDescent, dtype):

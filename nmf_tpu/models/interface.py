@@ -74,6 +74,7 @@ def nnmf(
     seed: int = 0,
     mesh=None,
     parallel_replicates: bool = False,
+    trace: bool = False,
 ) -> Result:
     """Non-negative matrix factorization: ``X (p x n) ~ W (p x k) @ H (k x n)``.
 
@@ -169,11 +170,13 @@ def nnmf(
         key=krep,
         parallel=parallel_replicates,
         mesh=mesh,
+        trace=trace,
     )
 
 
 def solve_replicates(
-    alginst, X, W, H, *, replicates: int, initH: bool, key=None, parallel: bool = False, mesh=None
+    alginst, X, W, H, *, replicates: int, initH: bool, key=None,
+    parallel: bool = False, mesh=None, trace: bool = False,
 ) -> Result:
     """Multi-start policy (reference ``solve_replicates!``,
     src/interf.jl:85-101): solve once from the requested init, then
@@ -183,7 +186,7 @@ def solve_replicates(
         key = jax.random.PRNGKey(0)
     k = W.shape[1]
 
-    ret = solve(alginst, X, W, H)
+    ret = solve(alginst, X, W, H, trace)
     if replicates == 1:
         return ret
 

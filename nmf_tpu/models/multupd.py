@@ -72,9 +72,9 @@ class MultUpdate:
         tol = self.tol if self.tol is not None else cbrt_eps(dtype)
         return self, tol
 
-    def _solve(self, X, W, H) -> Result:
+    def _solve(self, X, W, H, trace: bool = False) -> Result:
         upd, tol = self._resolved(W.dtype)
-        return nmf_skeleton(upd, X, W, H, self.maxiter, self.verbose, tol)
+        return nmf_skeleton(upd, X, W, H, self.maxiter, self.verbose, tol, trace)
 
 
 def _prepare(upd: MultUpdate, X, W, H):

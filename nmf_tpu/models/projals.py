@@ -54,9 +54,9 @@ class ProjectedALS:
         )
         return upd, upd.tol
 
-    def _solve(self, X, W, H) -> Result:
+    def _solve(self, X, W, H, trace: bool = False) -> Result:
         upd, tol = self._resolved(W.dtype)
-        return nmf_skeleton(upd, X, W, H, upd.maxiter, upd.verbose, tol)
+        return nmf_skeleton(upd, X, W, H, upd.maxiter, upd.verbose, tol, trace)
 
 
 def _prepare(upd: ProjectedALS, X, W, H):

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.fnnls import fnnls
-from ..ops.objectives import gkldiv, mse_objective
+from ..ops.objectives import kl_objective, mse_objective
 from ..utils.numeric import projectnn
 from .common import Result, static_field
 
@@ -141,9 +141,9 @@ class SPA:
         if self.obj not in ("mse", "div"):
             raise ValueError("Invalid value for obj.")
 
-    def _solve(self, X, W, H) -> Result:
+    def _solve(self, X, W, H, trace: bool = False) -> Result:
         if self.obj == "mse":
             objv = mse_objective(X, W, H)
         else:
-            objv = gkldiv(X, W @ H)
+            objv = kl_objective(X, W, H)
         return Result(W, H, 0, True, objv)
