@@ -71,7 +71,7 @@ def _spa_anchors_sparse(X, k: int):
     inv_cs = jnp.where(cs != 0, 1.0 / jnp.where(cs != 0, cs, 1), 0)
     # Xn = X with columns scaled to sum 1 (src/spa.jl:44)
     vals = matops.nnz_values(X)
-    cols = X.indices[:, 1]
+    cols = matops.col_indices(X)
     Xn = matops.scale_values(X, vals * inv_cs[cols])
 
     # column squared norms of Xn

@@ -33,8 +33,22 @@ except Exception:  # pragma: no cover
     jsparse = None
     BCOO = ()
 
+
+def _tiled_cls():
+    from .sparse_format import TiledCSR
+
+    return TiledCSR
+
+
+def is_tiled(X) -> bool:
+    from .sparse_format import TiledCSR
+
+    return isinstance(X, TiledCSR)
+
 __all__ = [
     "is_sparse",
+    "is_tiled",
+    "col_indices",
     "mm",
     "mtm",
     "sddmm",
@@ -51,6 +65,8 @@ __all__ = [
 
 
 def is_sparse(X) -> bool:
+    if is_tiled(X):
+        return True
     return jsparse is not None and isinstance(X, jsparse.JAXSparse)
 
 
@@ -62,6 +78,10 @@ def _as_bcoo(X):
 
 def mm(X, D):
     """``X @ D`` for dense or sparse X (dense result)."""
+    if is_tiled(X):
+        from .pallas.sparse import tiled_mm
+
+        return tiled_mm(X, D).astype(D.dtype)
     if is_sparse(X):
         return jsparse.bcoo_dot_general(
             _as_bcoo(X), D, dimension_numbers=(((1,), (0,)), ((), ()))
@@ -71,6 +91,10 @@ def mm(X, D):
 
 def mtm(D, X):
     """``D @ X`` with D dense (used as ``W.T @ X``; dense result)."""
+    if is_tiled(X):
+        from .pallas.sparse import tiled_mtm
+
+        return tiled_mtm(X, D.T).T.astype(D.dtype)
     if is_sparse(X):
         # (X' @ D')' with the sparse operand on the left keeps BCOO fast paths.
         Xt = transpose(X)
@@ -83,6 +107,9 @@ def mtm(D, X):
 def sddmm(W, H, X):
     """Values of ``(W @ H)`` sampled at X's nonzero positions, as a vector
     aligned with ``nnz_values(X)`` (only valid for sparse X)."""
+    if is_tiled(X):
+        # pure gather-gather-reduce: no scatter involved
+        return jnp.sum(W[X.row_idx, :] * H[:, X.col_idx].T, axis=1)
     Xb = _as_bcoo(X)
     return jsparse.bcoo_dot_general_sampled(
         W, H, Xb.indices, dimension_numbers=(((1,), (0,)), ((), ()))
@@ -91,11 +118,15 @@ def sddmm(W, H, X):
 
 def scale_values(X, new_values):
     """Sparse X with the same pattern but new values."""
+    if is_tiled(X):
+        return X.with_values(new_values)
     Xb = _as_bcoo(X)
     return BCOO((new_values, Xb.indices), shape=Xb.shape)
 
 
 def nnz_values(X):
+    if is_tiled(X):
+        return X.values
     return _as_bcoo(X).data
 
 
@@ -119,6 +150,8 @@ def mean(X):
 
 def colsums(X):
     """(n,) column sums."""
+    if is_tiled(X):
+        return jnp.zeros((X.shape[1],), X.dtype).at[X.col_idx].add(X.values)
     if is_sparse(X):
         return jsparse.bcoo_reduce_sum(_as_bcoo(X), axes=(0,)).todense()
     return jnp.sum(X, axis=0)
@@ -126,6 +159,8 @@ def colsums(X):
 
 def rowsums(X):
     """(p,) row sums."""
+    if is_tiled(X):
+        return jnp.zeros((X.shape[0],), X.dtype).at[X.row_idx].add(X.values)
     if is_sparse(X):
         return jsparse.bcoo_reduce_sum(_as_bcoo(X), axes=(1,)).todense()
     return jnp.sum(X, axis=1)
@@ -138,6 +173,15 @@ def all_nonneg(X):
 
 
 def transpose(X):
+    if is_tiled(X):
+        return X.transpose()
     if is_sparse(X):
         return jsparse.bcoo_transpose(_as_bcoo(X), permutation=(1, 0))
     return X.T
+
+
+def col_indices(X):
+    """(nnz,) column index of each stored value (sparse only)."""
+    if is_tiled(X):
+        return X.col_idx
+    return _as_bcoo(X).indices[:, 1]

@@ -1,0 +1,165 @@
+"""Pallas TPU sparse-dense matmul over the tiled-CSR format.
+
+Computes ``out = X @ D`` for sparse X (nnz binned into 128x128 tiles, see
+``nmf_tpu.ops.sparse_format``) and dense D (n x k), as:
+
+* grid (stripe, col_panel); the D column panel (k x 128) and the out stripe
+  (k x stripe_rows) live in VMEM;
+* per tile chunk (128 nnz): one ``tpu.dynamic_gather`` along lanes pulls each
+  nnz's D column out of the panel, a fused VPU multiply scales by the values,
+  and one 128x128 one-hot MXU matmul scatters into the out stripe;
+* the out stripe is DMA'd to HBM once per stripe (the output lives in ANY
+  memory space so the automatic per-step block write-back is avoided).
+
+Everything is (k on sublanes x 128 lanes) layout; the caller passes D
+transposed and transposes the (k x p) result back — two cheap XLA transposes
+around the heavy op.
+
+XLA's own sparse paths (BCOO / gather+scatter-add) measure ~95 Mnnz/s on
+v5e (docs/sparse_kernel_design.md); this kernel's cost model is one VPU pass
+of (k x 128) work per gather/scale plus a 128x128xk MXU op per chunk.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..sparse_format import TILE, TiledCSR, TiledSide
+
+__all__ = ["tiled_matmul_t", "tiled_mm", "tiled_mtm"]
+
+
+def _make_kernel(tiles_per_step, max_chunks, n_colpanels, stripe_width, K):
+    def kernel(lrows_ref, lcols_ref, vals_ref, dt_ref, out_hbm, acc_ref, copy_sem):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        dblk = dt_ref[:]  # (K, TILE)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+
+        def tile_body(t, carry):
+            rp = t // max_chunks
+            cols = lcols_ref[t, :]
+            idx = jnp.broadcast_to(cols[None, :], (K, TILE))
+            gathered = jnp.take_along_axis(dblk, idx, axis=1)
+            scaled = gathered * vals_ref[t, :][None, :]
+            onehot = (lrows_ref[t, :][:, None] == rr).astype(jnp.float32)
+            contrib = jnp.dot(scaled, onehot, preferred_element_type=jnp.float32)
+            off = pl.multiple_of(rp * TILE, TILE)
+            acc_ref[:, pl.ds(off, TILE)] += contrib
+            return carry
+
+        jax.lax.fori_loop(0, tiles_per_step, tile_body, 0)
+
+        @pl.when(j == n_colpanels - 1)
+        def _():
+            s = pl.program_id(0)
+            copy = pltpu.make_async_copy(
+                acc_ref,
+                out_hbm.at[:, pl.ds(s * stripe_width, stripe_width)],
+                copy_sem,
+            )
+            copy.start()
+            copy.wait()
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("meta", "interpret"))
+def _tiled_matmul_impl(lrows, lcols, vals, Dt, meta, interpret=False):
+    # interpret: False (compile) | True | pltpu.InterpretParams (TPU semantics)
+    (n_stripes, n_colpanels, tiles_per_step, max_chunks, stripe_width, p_pad) = meta
+    K = Dt.shape[0]
+    kernel = _make_kernel(tiles_per_step, max_chunks, n_colpanels, stripe_width, K)
+
+    grid = (n_stripes, n_colpanels)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (tiles_per_step, TILE),
+                lambda s, j: (s * n_colpanels + j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tiles_per_step, TILE),
+                lambda s, j: (s * n_colpanels + j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tiles_per_step, TILE),
+                lambda s, j: (s * n_colpanels + j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((K, TILE), lambda s, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((K, p_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((K, stripe_width), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * lrows.shape[0] * TILE * TILE * K,
+            bytes_accessed=3 * lrows.size * 4 + Dt.size * 4 * n_stripes + K * p_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(lrows, lcols, vals, Dt)
+    return out
+
+
+def tiled_matmul_t(side: TiledSide, D, *, interpret: bool = False):
+    """``(X @ D)`` for one tiling orientation; returns (rows, k)."""
+    if jax.default_backend() == "cpu":
+        # Mosaic only lowers on TPU; use the TPU-semantics interpreter
+        interpret = pltpu.InterpretParams()
+    p, n = side.rows, side.cols
+    k = D.shape[1]
+    K = -(-k // 8) * 8  # sublane-align
+    max_chunks = side.max_chunks
+    stripe_width = side.panels_per_stripe * TILE
+    p_pad = side.n_stripes * stripe_width
+
+    Dt = jnp.asarray(D, jnp.float32).T
+    n_pad = side.n_colpanels * TILE
+    Dt = jnp.pad(Dt, ((0, K - k), (0, n_pad - Dt.shape[1])))
+
+    meta = (
+        side.n_stripes,
+        side.n_colpanels,
+        side.tiles_per_step,
+        max_chunks,
+        stripe_width,
+        p_pad,
+    )
+    out = _tiled_matmul_impl(
+        jnp.asarray(side.lrows),
+        jnp.asarray(side.lcols),
+        jnp.asarray(side.vals, jnp.float32),
+        Dt,
+        meta,
+        interpret,
+    )
+    return out[:k, :p].T
+
+
+def tiled_mm(X: TiledCSR, D, *, interpret: bool = False):
+    """``X @ D`` (p x k)."""
+    return tiled_matmul_t(X.fwd, D, interpret=interpret)
+
+
+def tiled_mtm(X: TiledCSR, D, *, interpret: bool = False):
+    """``X.T @ D`` (n x k)."""
+    return tiled_matmul_t(X.bwd, D, interpret=interpret)

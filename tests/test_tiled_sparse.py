@@ -1,0 +1,74 @@
+"""TiledCSR format + Pallas sparse matmul kernel (TPU interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import nmf_tpu
+from nmf_tpu.ops import matops
+from nmf_tpu.ops.sparse_format import TILE, build_tiled
+
+
+def make(seed=0, p=300, n=260, k=8, density=0.05):
+    rng = np.random.default_rng(seed)
+    Xd = (rng.random((p, n)) * (rng.random((p, n)) < density)).astype(np.float32)
+    r, c = np.nonzero(Xd)
+    X = build_tiled(r, c, Xd[r, c], (p, n), stripe_tiles=2)
+    return Xd, X, rng
+
+
+def test_format_roundtrip():
+    Xd, X, rng = make()
+    # every nnz lands in exactly one slot; with_values round-trips
+    assert int(X.nnz) == (Xd != 0).sum()
+    X2 = X.with_values(X.values * 2)
+    np.testing.assert_allclose(np.asarray(X2.fwd.vals), np.asarray(X.fwd.vals) * 2)
+    np.testing.assert_allclose(np.asarray(X2.bwd.vals), np.asarray(X.bwd.vals) * 2)
+
+
+def test_mm_mtm_match_dense():
+    Xd, X, rng = make()
+    D = jnp.asarray(rng.random((Xd.shape[1], 8)).astype(np.float32))
+    got = np.asarray(matops.mm(X, D))
+    np.testing.assert_allclose(got, Xd @ np.asarray(D), rtol=2e-5, atol=1e-5)
+    D2 = jnp.asarray(rng.random((Xd.shape[0], 8)).astype(np.float32))
+    got2 = np.asarray(matops.mtm(D2.T, X))
+    np.testing.assert_allclose(got2, np.asarray(D2).T @ Xd, rtol=2e-5, atol=1e-5)
+
+
+def test_reductions_and_sddmm():
+    Xd, X, rng = make()
+    np.testing.assert_allclose(np.asarray(matops.colsums(X)), Xd.sum(0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(matops.rowsums(X)), Xd.sum(1), rtol=1e-5)
+    assert np.isclose(float(matops.sq_norm(X)), (Xd**2).sum(), rtol=1e-5)
+    W = jnp.asarray(rng.random((Xd.shape[0], 6)).astype(np.float32))
+    H = jnp.asarray(rng.random((6, Xd.shape[1])).astype(np.float32))
+    vals = np.asarray(matops.sddmm(W, H, X))
+    WH = np.asarray(W) @ np.asarray(H)
+    r, c = np.asarray(X.row_idx), np.asarray(X.col_idx)
+    np.testing.assert_allclose(vals, WH[r, c], rtol=2e-5, atol=1e-6)
+
+
+def test_transpose():
+    Xd, X, rng = make()
+    Xt = matops.transpose(X)
+    D = jnp.asarray(rng.random((Xd.shape[0], 5)).astype(np.float32))
+    got = np.asarray(matops.mm(Xt, D))
+    np.testing.assert_allclose(got, Xd.T @ np.asarray(D), rtol=2e-5, atol=1e-5)
+
+
+def test_solver_with_tiled_matches_bcoo():
+    from jax.experimental import sparse as jsparse
+
+    Xd, X, rng = make(p=140, n=120, density=0.1)
+    Xs = jsparse.BCOO.fromdense(jnp.asarray(Xd))
+    k = 4
+    W0 = jnp.asarray(rng.random((Xd.shape[0], k)).astype(np.float32))
+    H0 = jnp.asarray(rng.random((k, Xd.shape[1])).astype(np.float32))
+    alg = nmf_tpu.MultUpdate(obj="mse", maxiter=5)
+    a = nmf_tpu.solve(alg, Xs, W0, H0)
+    b = nmf_tpu.solve(alg, X, W0, H0)
+    assert b.niters == a.niters
+    np.testing.assert_allclose(np.asarray(b.W), np.asarray(a.W), rtol=1e-4, atol=1e-6)
+    assert np.isclose(b.objvalue, a.objvalue, rtol=1e-4)
