@@ -29,6 +29,7 @@ from .ops.fnnls import fnnls, nnls_gram
 from .ops.objectives import gkldiv, kl_objective, mse_objective, sqL2dist
 from .ops.linalg import pdsolve, pdrsolve
 from .ops.rsvd import rsvd
+from .utils.precompile import warmup
 from .utils.numeric import (
     adddiag,
     normalize1,
@@ -75,4 +76,5 @@ __all__ = [
     "projectnn",
     "posneg",
     "printf_mat",
+    "warmup",
 ]

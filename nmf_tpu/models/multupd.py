@@ -54,7 +54,23 @@ class MultUpdate:
     lambda_w: float = data_field(default=0.0)
     lambda_h: float = data_field(default=0.0)
 
-    def __post_init__(self):
+    # Deprecated ``lambda`` kwarg (reference src/multupd.jl:32-36): maps onto
+    # lambda_w/lambda_h where those are zero.  Python reserves ``lambda``, so
+    # the keyword is ``lam``.
+    lam: dataclasses.InitVar = None
+
+    def __post_init__(self, lam=None):
+        if lam is not None and isinstance(lam, (int, float)) and lam >= 0:
+            import warnings
+
+            warnings.warn(
+                "lam is deprecated, use lambda_w and lambda_h instead.",
+                DeprecationWarning,
+            )
+            if isinstance(self.lambda_w, (int, float)) and self.lambda_w == 0:
+                object.__setattr__(self, "lambda_w", lam)
+            if isinstance(self.lambda_h, (int, float)) and self.lambda_h == 0:
+                object.__setattr__(self, "lambda_h", lam)
         if self.obj not in ("mse", "div"):
             raise ValueError("Invalid value for obj.")
         if isinstance(self.maxiter, int) and self.maxiter <= 1:

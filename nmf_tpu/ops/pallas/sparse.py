@@ -35,7 +35,7 @@ from ..sparse_format import TILE, TiledCSR, TiledSide
 __all__ = ["tiled_matmul_t", "tiled_mm", "tiled_mtm"]
 
 
-def _make_kernel(tiles_per_step, max_chunks, n_colpanels, stripe_width, K):
+def _make_kernel(tiles_per_step, max_chunks, n_colpanels, stripe_width, K, precision):
     def kernel(lrows_ref, lcols_ref, vals_ref, dt_ref, out_hbm, acc_ref, copy_sem):
         j = pl.program_id(1)
 
@@ -53,7 +53,16 @@ def _make_kernel(tiles_per_step, max_chunks, n_colpanels, stripe_width, K):
             gathered = jnp.take_along_axis(dblk, idx, axis=1)
             scaled = gathered * vals_ref[t, :][None, :]
             onehot = (lrows_ref[t, :][:, None] == rr).astype(jnp.float32)
-            contrib = jnp.dot(scaled, onehot, preferred_element_type=jnp.float32)
+            # HIGHEST (default): the bf16 MXU passes would round `scaled`
+            # to 8-bit mantissas (~1e-3 relative error on the scatter);
+            # "default" precision trades that error for ~2x speed.
+            contrib = jax.lax.dot_general(
+                scaled,
+                onehot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
             off = pl.multiple_of(rp * TILE, TILE)
             acc_ref[:, pl.ds(off, TILE)] += contrib
             return carry
@@ -74,12 +83,15 @@ def _make_kernel(tiles_per_step, max_chunks, n_colpanels, stripe_width, K):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("meta", "interpret"))
-def _tiled_matmul_impl(lrows, lcols, vals, Dt, meta, interpret=False):
+@partial(jax.jit, static_argnames=("meta", "interpret", "precision"))
+def _tiled_matmul_impl(lrows, lcols, vals, Dt, meta, interpret=False, precision="highest"):
     # interpret: False (compile) | True | pltpu.InterpretParams (TPU semantics)
     (n_stripes, n_colpanels, tiles_per_step, max_chunks, stripe_width, p_pad) = meta
     K = Dt.shape[0]
-    kernel = _make_kernel(tiles_per_step, max_chunks, n_colpanels, stripe_width, K)
+    prec = (
+        jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
+    )
+    kernel = _make_kernel(tiles_per_step, max_chunks, n_colpanels, stripe_width, K, prec)
 
     grid = (n_stripes, n_colpanels)
     out = pl.pallas_call(
@@ -120,7 +132,7 @@ def _tiled_matmul_impl(lrows, lcols, vals, Dt, meta, interpret=False):
     return out
 
 
-def tiled_matmul_t(side: TiledSide, D, *, interpret: bool = False):
+def tiled_matmul_t(side: TiledSide, D, *, interpret: bool = False, precision: str = "highest"):
     """``(X @ D)`` for one tiling orientation; returns (rows, k)."""
     if jax.default_backend() == "cpu":
         # Mosaic only lowers on TPU; use the TPU-semantics interpreter
@@ -151,15 +163,16 @@ def tiled_matmul_t(side: TiledSide, D, *, interpret: bool = False):
         Dt,
         meta,
         interpret,
+        precision,
     )
     return out[:k, :p].T
 
 
-def tiled_mm(X: TiledCSR, D, *, interpret: bool = False):
+def tiled_mm(X: TiledCSR, D, *, interpret: bool = False, precision: str = "highest"):
     """``X @ D`` (p x k)."""
-    return tiled_matmul_t(X.fwd, D, interpret=interpret)
+    return tiled_matmul_t(X.fwd, D, interpret=interpret, precision=precision)
 
 
-def tiled_mtm(X: TiledCSR, D, *, interpret: bool = False):
+def tiled_mtm(X: TiledCSR, D, *, interpret: bool = False, precision: str = "highest"):
     """``X.T @ D`` (n x k)."""
-    return tiled_matmul_t(X.bwd, D, interpret=interpret)
+    return tiled_matmul_t(X.bwd, D, interpret=interpret, precision=precision)
