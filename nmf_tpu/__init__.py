@@ -17,7 +17,7 @@ collectives inserted by GSPMD.
 
 from .models.alspgrad import ALSPGrad, alspgrad_updateh, alspgrad_updatew
 from .models.checkpoint import solve_checkpointed
-from .models.common import Result, Trace, solve, stop_condition
+from .models.common import Result, Trace, nmf_checksize, solve, stop_condition
 from .models.coorddesc import CoordinateDescent
 from .models.greedycd import GreedyCD
 from .models.interface import nnmf, solve_replicates
@@ -49,6 +49,7 @@ __all__ = [
     "solve_checkpointed",
     "solve_replicates",
     "stop_condition",
+    "nmf_checksize",
     "MultUpdate",
     "ProjectedALS",
     "ALSPGrad",

@@ -69,7 +69,70 @@ def _projgradnorm(G, Y):
     return jnp.sqrt(jnp.sum(g2))
 
 
-def _pg_subsolve(AtA, AtB, Y0, maxiter, traceiter, tolg, beta, sigma, verbose=False):
+def _line_search(AtA, Y, G, alpha, traceiter, beta, sigma):
+    """The adaptive backtracking line search (src/alspgrad.jl:138-178).
+    Returns (Y, alpha, backtracks)."""
+    dt = Y.dtype
+    zero = jnp.zeros((), dt)
+    epsT = jnp.asarray(_eps(dt), dt)
+
+    def cond(s: _LSCarry):
+        return jnp.logical_and(~s.done, s.it < traceiter)
+
+    def body(s: _LSCarry):
+        it = s.it + 1
+        first = it == 1
+        Yn = jnp.maximum(Y - s.alpha * G, zero)
+        D = Yn - Y
+        dv1 = jnp.vdot(G, D)
+        dv2 = jnp.vdot(AtA @ D, D)
+        suff_decr = (1 - sigma) * dv1 + jnp.asarray(0.5, dt) * dv2 < 0
+        # First trial decides the direction and snapshots Yp <- Y
+        # (src/alspgrad.jl:157-160).
+        decr = jnp.where(first, ~suff_decr, s.decr)
+        Yp_eff = jnp.where(first, Y, s.Yp)
+        # Frobenius isapprox(Yp, Yn, atol=eps(T)) (src/alspgrad.jl:169).
+        close = jnp.linalg.norm(Yp_eff - Yn) <= epsT
+        take_n = decr & suff_decr  # shrink branch accepts Yn
+        take_p = (~decr) & ((~suff_decr) | close)  # grow branch accepts Yp
+        done = take_n | take_p
+        Y_out = jnp.where(take_n, Yn, jnp.where(take_p, Yp_eff, s.Y))
+        alpha_next = jnp.where(
+            done, s.alpha, jnp.where(decr, s.alpha * beta, s.alpha / beta)
+        )
+        # Growing and not done: remember this candidate (Yp <- Yn).
+        Yp_next = jnp.where(done | decr, Yp_eff, Yn)
+        return _LSCarry(Y_out, Yp_next, alpha_next, decr, it, done)
+
+    init = _LSCarry(
+        Y,
+        jnp.zeros_like(Y),
+        alpha,
+        jnp.zeros((), bool),
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), bool),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    return out.Y, out.alpha, out.it
+
+
+def _pg_step(AtA, AtB, Y, alpha, traceiter, tolg, beta, sigma):
+    """One outer PG iteration: gradient, projected-norm test, line search.
+    Returns (Y, alpha, pgnrm, backtracks, converged)."""
+    dt = Y.dtype
+    G = AtA @ Y - AtB
+    pgnrm = _projgradnorm(G, Y)
+    converged = pgnrm < jnp.asarray(tolg, dt)
+    Y, alpha, backtracks = jax.lax.cond(
+        converged,
+        lambda args: (args[0], args[2], jnp.zeros((), jnp.int32)),
+        lambda args: _line_search(AtA, args[0], args[1], args[2], traceiter, beta, sigma),
+        (Y, G, alpha),
+    )
+    return Y, alpha, pgnrm, backtracks, converged
+
+
+def _pg_subsolve(AtA, AtB, Y0, maxiter, traceiter, tolg, beta, sigma):
     """Solve ``min_{Y>=0} 0.5||A Y - B||^2`` by Lin's projected gradient with
     adaptive backtracking (reference ``_alspgrad_updateh!``,
     src/alspgrad.jl:86-191; the W variant :242-347 is this on transposed
@@ -81,64 +144,16 @@ def _pg_subsolve(AtA, AtB, Y0, maxiter, traceiter, tolg, beta, sigma, verbose=Fa
     iteration — exactly the reference's (non-)assignment behavior.
     """
     dt = Y0.dtype
-    zero = jnp.zeros((), dt)
-    epsT = jnp.asarray(_eps(dt), dt)
     beta = jnp.asarray(beta, dt)
     sigma = jnp.asarray(sigma, dt)
     tolg = jnp.asarray(tolg, dt)
-
-    def line_search(Y, G, alpha):
-        def cond(s: _LSCarry):
-            return jnp.logical_and(~s.done, s.it < traceiter)
-
-        def body(s: _LSCarry):
-            it = s.it + 1
-            first = it == 1
-            Yn = jnp.maximum(Y - s.alpha * G, zero)
-            D = Yn - Y
-            dv1 = jnp.vdot(G, D)
-            dv2 = jnp.vdot(AtA @ D, D)
-            suff_decr = (1 - sigma) * dv1 + jnp.asarray(0.5, dt) * dv2 < 0
-            # First trial decides the direction and snapshots Yp <- Y
-            # (src/alspgrad.jl:157-160).
-            decr = jnp.where(first, ~suff_decr, s.decr)
-            Yp_eff = jnp.where(first, Y, s.Yp)
-            # Frobenius isapprox(Yp, Yn, atol=eps(T)) (src/alspgrad.jl:169).
-            close = jnp.linalg.norm(Yp_eff - Yn) <= epsT
-            take_n = decr & suff_decr  # shrink branch accepts Yn
-            take_p = (~decr) & ((~suff_decr) | close)  # grow branch accepts Yp
-            done = take_n | take_p
-            Y_out = jnp.where(take_n, Yn, jnp.where(take_p, Yp_eff, s.Y))
-            alpha_next = jnp.where(
-                done, s.alpha, jnp.where(decr, s.alpha * beta, s.alpha / beta)
-            )
-            # Growing and not done: remember this candidate (Yp <- Yn).
-            Yp_next = jnp.where(done | decr, Yp_eff, Yn)
-            return _LSCarry(Y_out, Yp_next, alpha_next, decr, it, done)
-
-        init = _LSCarry(
-            Y,
-            jnp.zeros_like(Y),
-            alpha,
-            jnp.zeros((), bool),
-            jnp.zeros((), jnp.int32),
-            jnp.zeros((), bool),
-        )
-        out = jax.lax.while_loop(cond, body, init)
-        return out.Y, out.alpha
 
     def cond(c: _PGCarry):
         return jnp.logical_and(~c.converged, c.t < maxiter)
 
     def body(c: _PGCarry):
-        G = AtA @ c.Y - AtB
-        pgnrm = _projgradnorm(G, c.Y)
-        converged = pgnrm < tolg
-        Y, alpha = jax.lax.cond(
-            converged,
-            lambda args: (args[0], args[2]),
-            lambda args: line_search(*args),
-            (c.Y, G, c.alpha),
+        Y, alpha, _, _, converged = _pg_step(
+            AtA, AtB, c.Y, c.alpha, traceiter, tolg, beta, sigma
         )
         return _PGCarry(Y, alpha, c.t + 1, converged)
 
@@ -150,6 +165,46 @@ def _pg_subsolve(AtA, AtB, Y0, maxiter, traceiter, tolg, beta, sigma, verbose=Fa
     )
     out = jax.lax.while_loop(cond, body, init)
     return out.Y, out.t
+
+
+@jax.jit
+def _pg_step_jit(AtA, AtB, Y, alpha, traceiter, tolg, beta, sigma):
+    return _pg_step(AtA, AtB, Y, alpha, traceiter, tolg, beta, sigma)
+
+
+def _pg_solve_verbose(AtA, AtB, normB2, Y, maxiter, traceiter, tolg, beta, sigma):
+    """Host-driven PG solve printing the reference's per-iteration table
+    (Iter / objv / objv.change / 1st-ord / alpha / back-tracks,
+    src/alspgrad.jl:107-113,181-188)."""
+    dt = Y.dtype
+
+    def objective(Y):
+        return float(
+            0.5 * (jnp.vdot(Y, AtA @ Y) - 2 * jnp.vdot(AtB, Y) + normB2)
+        )
+
+    print(
+        f"{'Iter':>5}    {'objv':>12}    {'objv.change':>12}    "
+        f"{'1st-ord':>12}    {'alpha':>8}    {'back-tracks':>12}"
+    )
+    objv = objective(Y)
+    print(f"{0:5d}    {objv:12.5e}")
+    alpha = jnp.ones((), dt)
+    t = 0
+    converged = False
+    while not converged and t < maxiter:
+        t += 1
+        Y, alpha, pgnrm, backtracks, conv_a = _pg_step_jit(
+            AtA, AtB, Y, alpha, traceiter, tolg, beta, sigma
+        )
+        converged = bool(conv_a)
+        preobjv = objv
+        objv = objective(Y)
+        print(
+            f"{t:5d}    {objv:12.5e}    {objv - preobjv:12.5e}    "
+            f"{float(pgnrm):12.5e}    {float(alpha):8.4f}    {int(backtracks):12d}"
+        )
+    return Y, t
 
 
 @jax.jit
@@ -181,9 +236,19 @@ def alspgrad_updateh(
 ):
     """Per-factor public solver (reference ``alspgrad_updateh!``,
     src/alspgrad.jl:69-84).  Returns ``(H, niters)``.  ``tolg`` defaults to
-    ``cbrt(eps(T))``."""
+    ``cbrt(eps(T))``.  ``verbose`` prints the reference's per-iteration
+    table via a host-driven loop (identical math)."""
     if tolg is None:
         tolg = cbrt_eps(H.dtype)
+    if verbose:
+        from ..ops import matops
+
+        WtW = W.T @ W
+        WtX = matops.mtm(W.T, X)
+        normB2 = matops.sq_norm(X)
+        return _pg_solve_verbose(
+            WtW, WtX, normB2, H, maxiter, traceiter, tolg, beta, sigma
+        )
     H, t = _pg_solve_h(X, W, H, maxiter, traceiter, tolg, beta, sigma)
     return H, int(t)
 
@@ -204,6 +269,16 @@ def alspgrad_updatew(
     src/alspgrad.jl:225-240).  Returns ``(W, niters)``."""
     if tolg is None:
         tolg = cbrt_eps(W.dtype)
+    if verbose:
+        from ..ops import matops
+
+        HHt = H @ H.T
+        XHt = matops.mm(X, H.T)
+        normB2 = matops.sq_norm(X)
+        Wt, t = _pg_solve_verbose(
+            HHt, XHt.T, normB2, W.T, maxiter, traceiter, tolg, beta, sigma
+        )
+        return Wt.T, t
     W, t = _pg_solve_w(X, W, H, maxiter, traceiter, tolg, beta, sigma)
     return W, int(t)
 

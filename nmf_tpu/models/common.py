@@ -39,6 +39,7 @@ from ..utils.numeric import safe_div
 __all__ = [
     "Result",
     "Trace",
+    "nmf_checksize",
     "stop_condition",
     "nmf_skeleton",
     "register_solver",
@@ -62,6 +63,16 @@ def static_field(**kw):
 def data_field(**kw):
     """Dataclass field treated as a traced pytree leaf (no recompiles)."""
     return dataclasses.field(**kw)
+
+
+def nmf_checksize(X, W, H):
+    """Validate that X (p x n), W (p x k), H (k x n) are consistent and
+    return (p, n, k) (reference ``nmf_checksize``, src/common.jl:5-16)."""
+    p, n = X.shape
+    k = W.shape[1]
+    if not (W.shape[0] == p and H.shape == (k, n)):
+        raise ValueError("Dimensions of X, W, and H are inconsistent.")
+    return p, n, k
 
 
 # ---------------------------------------------------------------------------
@@ -313,6 +324,7 @@ def nmf_skeleton(upd, X, W, H, maxiter, verbose, tol, trace: bool = False) -> Re
     them does not recompile (except with ``trace=True``, where maxiter sizes
     the history buffers).
     """
+    nmf_checksize(X, W, H)
     tol = jnp.asarray(tol, W.dtype)
     if trace:
         W, H, t, converged, objv, objv_hist, dev_hist = _solve_while_traced(
