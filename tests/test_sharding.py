@@ -91,3 +91,23 @@ def test_sharded_nndsvd_init_end_to_end():
     mesh = make_mesh()
     ret = M.nnmf(jnp.asarray(X), 8, alg="greedycd", init="nndsvdar", maxiter=5, mesh=mesh)
     assert np.isfinite(ret.objvalue)
+
+
+@requires_multidevice
+def test_sharded_replicates_and_update_H():
+    rng = np.random.default_rng(115)
+    p, n, k = 32, 32, 4
+    X = np.abs(rng.random((p, n))).astype(np.float64)
+    mesh = make_mesh()
+    ret = M.nnmf(
+        jnp.asarray(X), k, alg="multmse", init="random", replicates=3,
+        maxiter=8, mesh=mesh, seed=2,
+    )
+    assert np.isfinite(ret.objvalue)
+    W0 = np.abs(rng.random((p, k)))
+    H0 = np.abs(rng.random((k, n))) + 0.01
+    ret2 = M.nnmf(
+        jnp.asarray(X), k, alg="cd", init="custom", W0=W0, H0=H0,
+        update_H=False, maxiter=8, mesh=mesh,
+    )
+    assert np.array_equal(np.asarray(ret2.H), H0)
