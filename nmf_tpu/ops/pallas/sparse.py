@@ -35,7 +35,7 @@ from ..sparse_format import TILE, TiledCSR, TiledSide
 __all__ = ["tiled_matmul_t", "tiled_mm", "tiled_mtm"]
 
 
-def _make_kernel(tiles_per_step, max_chunks, n_colpanels, stripe_width, K, precision):
+def _make_kernel(tiles_per_step, max_chunks, n_colpanels, stripe_width, K, precision: str):
     def kernel(lrows_ref, lcols_ref, vals_ref, dt_ref, out_hbm, acc_ref, copy_sem):
         j = pl.program_id(1)
 
@@ -52,17 +52,28 @@ def _make_kernel(tiles_per_step, max_chunks, n_colpanels, stripe_width, K, preci
             idx = jnp.broadcast_to(cols[None, :], (K, TILE))
             gathered = jnp.take_along_axis(dblk, idx, axis=1)
             scaled = gathered * vals_ref[t, :][None, :]
-            onehot = (lrows_ref[t, :][:, None] == rr).astype(jnp.float32)
-            # HIGHEST (default): the bf16 MXU passes would round `scaled`
-            # to 8-bit mantissas (~1e-3 relative error on the scatter);
-            # "default" precision trades that error for ~2x speed.
-            contrib = jax.lax.dot_general(
-                scaled,
-                onehot,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            )
+            onehot = (lrows_ref[t, :][:, None] == rr).astype(jnp.bfloat16)
+
+            def bf16_dot(a_bf16):
+                return jax.lax.dot_general(
+                    a_bf16,
+                    onehot,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            if precision == "exact":
+                # One-hot entries are exactly representable in bf16, so a
+                # 3-way bf16 split of `scaled` recovers full f32 precision in
+                # 3 MXU passes (HIGHEST would burn 6 on splitting both sides).
+                s1 = scaled.astype(jnp.bfloat16)
+                r1 = scaled - s1.astype(jnp.float32)
+                s2 = r1.astype(jnp.bfloat16)
+                s3 = (r1 - s2.astype(jnp.float32)).astype(jnp.bfloat16)
+                contrib = bf16_dot(s1) + bf16_dot(s2) + bf16_dot(s3)
+            else:
+                # single bf16 pass: ~1e-3 relative rounding of `scaled`
+                contrib = bf16_dot(scaled.astype(jnp.bfloat16))
             off = pl.multiple_of(rp * TILE, TILE)
             acc_ref[:, pl.ds(off, TILE)] += contrib
             return carry
@@ -88,9 +99,7 @@ def _tiled_matmul_impl(lrows, lcols, vals, Dt, meta, interpret=False, precision=
     # interpret: False (compile) | True | pltpu.InterpretParams (TPU semantics)
     (n_stripes, n_colpanels, tiles_per_step, max_chunks, stripe_width, p_pad) = meta
     K = Dt.shape[0]
-    prec = (
-        jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
-    )
+    prec = "exact" if precision in ("highest", "exact") else "fast"
     kernel = _make_kernel(tiles_per_step, max_chunks, n_colpanels, stripe_width, K, prec)
 
     grid = (n_stripes, n_colpanels)
