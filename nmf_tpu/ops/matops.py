@@ -45,9 +45,16 @@ def is_tiled(X) -> bool:
 
     return isinstance(X, TiledCSR)
 
+
+def is_sharded_tiled(X) -> bool:
+    from .sparse_shard import ShardedTiled
+
+    return isinstance(X, ShardedTiled)
+
 __all__ = [
     "is_sparse",
     "is_tiled",
+    "is_sharded_tiled",
     "col_indices",
     "mm",
     "mtm",
@@ -65,7 +72,7 @@ __all__ = [
 
 
 def is_sparse(X) -> bool:
-    if is_tiled(X):
+    if is_tiled(X) or is_sharded_tiled(X):
         return True
     return jsparse is not None and isinstance(X, jsparse.JAXSparse)
 
@@ -78,6 +85,10 @@ def _as_bcoo(X):
 
 def mm(X, D):
     """``X @ D`` for dense or sparse X (dense result)."""
+    if is_sharded_tiled(X):
+        from .sparse_shard import sharded_mm
+
+        return sharded_mm(X, D).astype(D.dtype)
     if is_tiled(X):
         from .pallas.sparse import tiled_mm
 
@@ -91,6 +102,10 @@ def mm(X, D):
 
 def mtm(D, X):
     """``D @ X`` with D dense (used as ``W.T @ X``; dense result)."""
+    if is_sharded_tiled(X):
+        from .sparse_shard import sharded_mtm
+
+        return sharded_mtm(X, D.T).T.astype(D.dtype)
     if is_tiled(X):
         from .pallas.sparse import tiled_mtm
 
@@ -104,9 +119,18 @@ def mtm(D, X):
     return D @ X
 
 
+_SHARDED_KL_MSG = (
+    "per-nonzero ops (SDDMM / value updates) for 2-D sharded sparse X are "
+    "not implemented yet; use the single-chip TiledCSR or BCOO path for "
+    "alg='multdiv' and KL objectives."
+)
+
+
 def sddmm(W, H, X):
     """Values of ``(W @ H)`` sampled at X's nonzero positions, as a vector
     aligned with ``nnz_values(X)`` (only valid for sparse X)."""
+    if is_sharded_tiled(X):
+        raise NotImplementedError(_SHARDED_KL_MSG)
     if is_tiled(X):
         # pure gather-gather-reduce: no scatter involved
         return jnp.sum(W[X.row_idx, :] * H[:, X.col_idx].T, axis=1)
@@ -118,6 +142,8 @@ def sddmm(W, H, X):
 
 def scale_values(X, new_values):
     """Sparse X with the same pattern but new values."""
+    if is_sharded_tiled(X):
+        raise NotImplementedError(_SHARDED_KL_MSG)
     if is_tiled(X):
         return X.with_values(new_values)
     Xb = _as_bcoo(X)
@@ -125,6 +151,8 @@ def scale_values(X, new_values):
 
 
 def nnz_values(X):
+    if is_sharded_tiled(X):
+        raise NotImplementedError(_SHARDED_KL_MSG)
     if is_tiled(X):
         return X.values
     return _as_bcoo(X).data
@@ -132,6 +160,8 @@ def nnz_values(X):
 
 def sq_norm(X):
     """``sum(X**2)``."""
+    if is_sharded_tiled(X):
+        return X.stats[1]
     if is_sparse(X):
         v = nnz_values(X)
         return jnp.sum(v * v)
@@ -139,6 +169,8 @@ def sq_norm(X):
 
 
 def total_sum(X):
+    if is_sharded_tiled(X):
+        return X.stats[0]
     if is_sparse(X):
         return jnp.sum(nnz_values(X))
     return jnp.sum(X)
@@ -167,12 +199,16 @@ def rowsums(X):
 
 
 def all_nonneg(X):
+    if is_sharded_tiled(X):
+        return X.stats[2] >= 0
     if is_sparse(X):
         return jnp.all(nnz_values(X) >= 0)
     return jnp.all(X >= 0)
 
 
 def transpose(X):
+    if is_sharded_tiled(X):
+        return X.transpose()
     if is_tiled(X):
         return X.transpose()
     if is_sparse(X):

@@ -87,6 +87,11 @@ def mse_objective(X, W, H):
     from .. import config as _config
 
     half = jnp.asarray(0.5, W.dtype)
+    if matops.is_sharded_tiled(X):
+        # Gram identity with only mm(): <X, WH> = <W, X @ H'>
+        cross = jnp.vdot(W, matops.mm(X, H.T))
+        wh_sq = jnp.vdot(W.T @ W, H @ H.T)
+        return half * (matops.sq_norm(X) - 2 * cross + wh_sq)
     if matops.is_sparse(X):
         xv = matops.nnz_values(X)
         wh_at_nnz = matops.sddmm(W, H, X)
@@ -111,6 +116,11 @@ def kl_objective(X, W, H, delta=None):
     """
     from . import matops
 
+    if matops.is_sharded_tiled(X):
+        raise NotImplementedError(
+            "KL objective for 2-D sharded sparse X is not implemented yet; "
+            "use the single-chip TiledCSR or BCOO path for alg='multdiv'."
+        )
     if matops.is_sparse(X):
         xv = matops.nnz_values(X)
         wh_at_nnz = matops.sddmm(W, H, X)

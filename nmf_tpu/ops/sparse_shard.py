@@ -1,0 +1,315 @@
+"""Sharded tiled-CSR: the multi-chip sparse matmul path.
+
+2-D decomposition matching the canonical dense layout (X: P(rows, cols)):
+device (i, j) owns the nonzeros whose row falls in row-block i and column in
+col-block j, stored as a local TiledSide in *local* coordinates.
+
+* ``X @ D``  (p x k): D is row-sharded over the mesh "cols" axis (each device
+  holds exactly its column panels), every device runs the single-chip Pallas
+  kernel on its local tiles, partial results are ``psum``-reduced over
+  "cols" — the output lands row-sharded, i.e. exactly the canonical W
+  sharding ``P("rows", None)``.
+* ``X' @ D`` (n x k): the same with the transposed tiling — D sharded over
+  "rows" (canonical W layout), psum over "rows", output in the canonical
+  H' layout ``P("cols", None)``.
+
+So each HALS/MU sweep on sparse X needs zero resharding of the factors: the
+sparse products consume and produce the factor shardings the dense path
+already uses.  Collectives: one (local_rows x k) psum per product.
+
+All devices' local tile arrays are padded to a uniform shape so the stacked
+global array is jit/shard_map friendly; empty-device blocks run zero chunks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.common import data_field, static_field
+from ..parallel.mesh import COLS, ROWS
+from .sparse_format import TILE, _build_side, TiledSide
+
+__all__ = ["ShardedTiled", "shard_tiled", "sharded_mm", "sharded_mtm"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class _ShardedSide:
+    """Stacked per-device TiledSides for one orientation.
+
+    Arrays have a leading (R*C,) device axis, sharded ("rows","cols")-major.
+    """
+
+    lrows: jax.Array = data_field()  # (RC, ntiles, TILE) int32
+    lcols: jax.Array = data_field()
+    vals: jax.Array = data_field()
+    n_stripes: int = static_field(default=1)
+    n_colpanels: int = static_field(default=1)
+    tiles_per_step: int = static_field(default=1)
+    panels_per_stripe: int = static_field(default=1)
+    max_chunks: int = static_field(default=1)
+    local_rows: int = static_field(default=0)  # padded local row count
+    local_cols: int = static_field(default=0)  # padded local col count
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedTiled:
+    """2-D sharded sparse matrix for the mesh-parallel kernel.
+
+    ``stats`` = (sum, sum of squares, min) of the values — enough for
+    validation, mean() and the Gram-identity MSE objective without keeping
+    the raw COO on every host.  ``transposed`` flips the orientation
+    logically (``transpose()`` is free).
+    """
+
+    fwd: _ShardedSide = data_field()
+    bwd: _ShardedSide = data_field()
+    stats: jax.Array = data_field(default=None)
+    shape: tuple[int, int] = static_field(default=(0, 0))
+    mesh_shape: tuple[int, int] = static_field(default=(1, 1))
+    transposed: bool = static_field(default=False)
+    mesh: Mesh | None = static_field(default=None)
+
+    @property
+    def dtype(self):
+        return self.fwd.vals.dtype
+
+    @property
+    def ndim(self):
+        return 2
+
+    def transpose(self):
+        return dataclasses.replace(
+            self,
+            shape=(self.shape[1], self.shape[0]),
+            transposed=not self.transposed,
+        )
+
+
+def _build_sharded_side(rows, cols, vals, p, n, R, C, stripe_tiles):
+    """Per-(i,j) local TiledSides, padded to uniform tile counts, stacked."""
+    # pad global dims so each device block is a whole number of tiles
+    local_p = -(-(-(-p // R)) // TILE) * TILE  # ceil(p/R) rounded up to TILE
+    local_n = -(-(-(-n // C)) // TILE) * TILE
+    bi = rows // local_p
+    bj = cols // local_n
+    sides = []
+    for i in range(R):
+        for j in range(C):
+            m = (bi == i) & (bj == j)
+            sides.append(
+                _build_side(
+                    rows[m] - i * local_p,
+                    cols[m] - j * local_n,
+                    vals[m],
+                    local_p,
+                    local_n,
+                    stripe_tiles,
+                )
+            )
+    # uniform padding across devices: same max_chunks -> same ntiles
+    max_mc = max(s.max_chunks for s in sides)
+    sidesu = []
+    for s in sides:
+        if s.max_chunks == max_mc:
+            sidesu.append(s)
+            continue
+        # rebuild chunk arrays with max_mc chunk slots per tile
+        lr = np.zeros(
+            (s.n_stripes * s.n_colpanels * s.panels_per_stripe * max_mc, TILE),
+            np.int32,
+        )
+        lc = np.zeros_like(lr)
+        vv = np.zeros(lr.shape, np.float32)
+        old = np.asarray(s.lrows), np.asarray(s.lcols), np.asarray(s.vals)
+        n_groups = s.n_stripes * s.n_colpanels * s.panels_per_stripe
+        o = old[0].reshape(n_groups, s.max_chunks, TILE)
+        oc = old[1].reshape(n_groups, s.max_chunks, TILE)
+        ov = old[2].reshape(n_groups, s.max_chunks, TILE)
+        lr.reshape(n_groups, max_mc, TILE)[:, : s.max_chunks] = o
+        lc.reshape(n_groups, max_mc, TILE)[:, : s.max_chunks] = oc
+        vv.reshape(n_groups, max_mc, TILE)[:, : s.max_chunks] = ov
+        sidesu.append(
+            TiledSide(
+                jnp.asarray(lr),
+                jnp.asarray(lc),
+                jnp.asarray(vv),
+                s.perm,
+                s.n_stripes,
+                s.n_colpanels,
+                s.panels_per_stripe * max_mc,
+                s.panels_per_stripe,
+                max_mc,
+                s.rows,
+                s.cols,
+            )
+        )
+    s0 = sidesu[0]
+    lrows = jnp.stack([s.lrows for s in sidesu])
+    lcols = jnp.stack([s.lcols for s in sidesu])
+    valsb = jnp.stack([s.vals for s in sidesu])
+    return _ShardedSide(
+        lrows,
+        lcols,
+        valsb,
+        s0.n_stripes,
+        s0.n_colpanels,
+        s0.panels_per_stripe * max_mc,
+        s0.panels_per_stripe,
+        max_mc,
+        local_p,
+        local_n,
+    )
+
+
+def shard_tiled(rows, cols, vals, shape, mesh: Mesh, *, stripe_tiles: int = 32) -> ShardedTiled:
+    """Build the 2-D sharded tiling from COO data for ``mesh``."""
+    p, n = shape
+    R = mesh.shape[ROWS]
+    C = mesh.shape[COLS]
+    rows = np.asarray(rows, np.int32)
+    cols = np.asarray(cols, np.int32)
+    vals = np.asarray(vals, np.float32)
+    fwd = _build_sharded_side(rows, cols, vals, p, n, R, C, stripe_tiles)
+    bwd = _build_sharded_side(cols, rows, vals, n, p, C, R, stripe_tiles)
+    stats = jnp.asarray(
+        [vals.sum(dtype=np.float64), (vals.astype(np.float64) ** 2).sum(),
+         vals.min() if len(vals) else 0.0],
+        jnp.float32,
+    )
+    st = ShardedTiled(fwd, bwd, stats, (p, n), (R, C), False, mesh)
+    return _place(st, mesh)
+
+
+def _place(st: ShardedTiled, mesh: Mesh) -> ShardedTiled:
+    """Device-put the stacked arrays so block d = i*C+j lands on device (i,j)."""
+    R, C = st.mesh_shape
+
+    def put(side, transposed):
+        # leading axis order is (i, j) for fwd and (j, i) for bwd
+        ax0 = ("dev",)
+        arrs = {}
+        for name in ("lrows", "lcols", "vals"):
+            a = getattr(side, name)
+            a = a.reshape((R, C) + a.shape[1:]) if not transposed else a.reshape(
+                (C, R) + a.shape[1:]
+            )
+            spec = (
+                P(ROWS, COLS, None, None) if not transposed else P(COLS, ROWS, None, None)
+            )
+            arrs[name] = jax.device_put(a, NamedSharding(mesh, spec))
+        return dataclasses.replace(side, **arrs)
+
+    return dataclasses.replace(st, fwd=put(st.fwd, False), bwd=put(st.bwd, True))
+
+
+def _local_matmul(side_meta, lrows, lcols, vals, Dt_local, precision):
+    if jax.default_backend() == "cpu":
+        # The TPU-interpret Pallas kernel serializes per-device execution,
+        # which deadlocks the CPU backend's collective rendezvous when this
+        # runs inside shard_map + while_loop.  Use an equivalent jnp
+        # formulation on CPU; the real kernel runs on TPU.
+        return _local_matmul_jnp(side_meta, lrows, lcols, vals, Dt_local)
+    from .pallas.sparse import _tiled_matmul_impl
+
+    meta = (
+        side_meta.n_stripes,
+        side_meta.n_colpanels,
+        side_meta.tiles_per_step,
+        side_meta.max_chunks,
+        side_meta.panels_per_stripe * TILE,
+        side_meta.n_stripes * side_meta.panels_per_stripe * TILE,
+    )
+    return _tiled_matmul_impl(lrows, lcols, vals, Dt_local, meta, False, precision)
+
+
+def _local_matmul_jnp(side_meta, lrows, lcols, vals, Dt_local):
+    """jnp (gather + scatter-add) equivalent of the Pallas tiled kernel on
+    the local chunk arrays; same (K, rows_pad) output."""
+    ncp = side_meta.n_colpanels
+    tps = side_meta.tiles_per_step
+    mc = side_meta.max_chunks
+    pps = side_meta.panels_per_stripe
+    rows_pad = side_meta.n_stripes * pps * TILE
+    ntiles = lrows.shape[0]
+    t = jnp.arange(ntiles)
+    stripe = t // (ncp * tps)
+    rem = t % (ncp * tps)
+    cp = rem // tps
+    rp = (rem % tps) // mc
+    grow = ((stripe * pps + rp) * TILE)[:, None] + lrows  # (ntiles, TILE)
+    gcol = (cp * TILE)[:, None] + lcols
+    flat_rows = grow.reshape(-1)
+    flat_cols = gcol.reshape(-1)
+    flat_vals = vals.reshape(-1)
+    contrib = Dt_local[:, flat_cols] * flat_vals[None, :]  # (K, nnz_slots)
+    out = jnp.zeros((Dt_local.shape[0], rows_pad), jnp.float32)
+    return out.at[:, flat_rows].add(contrib)
+
+
+@partial(jax.jit, static_argnames=("mesh", "precision", "transposed"))
+def _sharded_matmul(X: ShardedTiled, D, mesh, precision="exact", transposed=False):
+    from jax.experimental.shard_map import shard_map
+
+    side = X.bwd if transposed else X.fwd
+    axis_out, axis_red = (COLS, ROWS) if transposed else (ROWS, COLS)
+    R, C = X.mesh_shape
+    k = D.shape[1]
+    K = -(-k // 8) * 8
+    # D row-sharded over the reduction axis; pad rows to the padded local size
+    local_in = side.local_cols
+    n_groups = C if not transposed else R
+    Dp = jnp.pad(D, ((0, local_in * n_groups - D.shape[0]), (0, K - k)))
+
+    def local_fn(lrows, lcols, vals, Dloc):
+        # lrows: (1, 1, ntiles, TILE); Dloc: (local_in, K)
+        out_local = _local_matmul(
+            side, lrows[0, 0], lcols[0, 0], vals[0, 0], Dloc.T, precision
+        )  # (K, local_rows_pad)
+        out_local = jax.lax.psum(out_local, axis_red)
+        return out_local[None]  # (1, K, local_rows_pad)
+
+    in_specs = (
+        (P(ROWS, COLS, None, None), P(ROWS, COLS, None, None), P(ROWS, COLS, None, None), P(COLS, None))
+        if not transposed
+        else (P(COLS, ROWS, None, None), P(COLS, ROWS, None, None), P(COLS, ROWS, None, None), P(ROWS, None))
+    )
+    out_spec = P(axis_out, None, None)
+
+    out = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        check_rep=False,
+    )(side.lrows, side.lcols, side.vals, Dp)
+    # out: (R or C, K, stripes_rows_pad); each device block covers exactly
+    # local_rows global rows — drop the per-device stripe padding before
+    # concatenating blocks.
+    out = out[:, :, : side.local_rows]
+    out = jnp.transpose(out, (0, 2, 1)).reshape(-1, K)
+    # physical output length of this orientation (independent of any logical
+    # transpose flag on X)
+    rows_total = side.local_rows * (C if transposed else R)
+    phys_rows = X.shape[1] if (transposed != X.transposed) else X.shape[0]
+    return out[:phys_rows, :k]
+
+
+def sharded_mm(X: ShardedTiled, D, mesh=None, *, precision: str = "exact"):
+    """``X @ D`` -> (p, k), output sharded P("rows", None) (or the
+    transposed product when X is logically transposed)."""
+    mesh = mesh or X.mesh
+    return _sharded_matmul(X, D, mesh, precision, X.transposed)
+
+
+def sharded_mtm(X: ShardedTiled, D, mesh=None, *, precision: str = "exact"):
+    """``X' @ D`` -> (n, k), output sharded P("cols", None)."""
+    mesh = mesh or X.mesh
+    return _sharded_matmul(X, D, mesh, precision, not X.transposed)

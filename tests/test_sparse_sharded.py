@@ -1,0 +1,98 @@
+"""2-D sharded sparse X (ShardedTiled) on the simulated 8-device mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import nmf_tpu
+from nmf_tpu.ops import matops
+from nmf_tpu.ops.sparse_shard import shard_tiled, sharded_mm, sharded_mtm
+from nmf_tpu.parallel.mesh import make_mesh
+from nmf_tpu.parallel.sharding import w_sharding, h_sharding
+
+requires_multidevice = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 simulated devices"
+)
+
+
+def make(seed=0, p=600, n=500, density=0.05):
+    rng = np.random.default_rng(seed)
+    Xd = (rng.random((p, n)) * (rng.random((p, n)) < density)).astype(np.float32)
+    r, c = np.nonzero(Xd)
+    return Xd, r, c, rng
+
+
+@requires_multidevice
+def test_sharded_products_match_dense():
+    Xd, r, c, rng = make()
+    mesh = make_mesh((2, 4))
+    X = shard_tiled(r, c, Xd[r, c], Xd.shape, mesh, stripe_tiles=2)
+    D = jnp.asarray(rng.random((Xd.shape[1], 12)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(sharded_mm(X, D)), Xd @ np.asarray(D), rtol=3e-5, atol=1e-4
+    )
+    D2 = jnp.asarray(rng.random((Xd.shape[0], 12)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(sharded_mtm(X, D2)), Xd.T @ np.asarray(D2), rtol=3e-5, atol=1e-4
+    )
+    # matops dispatch + logical transpose
+    np.testing.assert_allclose(
+        np.asarray(matops.mm(matops.transpose(X), D2)),
+        Xd.T @ np.asarray(D2),
+        rtol=3e-5,
+        atol=1e-4,
+    )
+    assert bool(matops.all_nonneg(X))
+    assert np.isclose(float(matops.sq_norm(X)), (Xd**2).sum(), rtol=1e-5)
+
+
+@requires_multidevice
+def test_output_shardings_are_canonical():
+    Xd, r, c, rng = make(p=256, n=256)
+    mesh = make_mesh((2, 4))
+    X = shard_tiled(r, c, Xd[r, c], Xd.shape, mesh, stripe_tiles=1)
+    D = jnp.asarray(rng.random((256, 8)).astype(np.float32))
+    out = sharded_mm(X, D)
+    # X @ D is the XH' shape -> must land in the canonical W sharding
+    assert out.sharding.is_equivalent_to(w_sharding(mesh), out.ndim)
+
+
+@requires_multidevice
+@pytest.mark.parametrize("alg", ["multmse", "cd", "greedycd", "projals", "alspgrad"])
+def test_sharded_sparse_solvers_match_dense(alg):
+    Xd, r, c, rng = make(p=256, n=192, density=0.08)
+    mesh = make_mesh((2, 4))
+    X = shard_tiled(r, c, Xd[r, c], Xd.shape, mesh, stripe_tiles=1)
+    k = 4
+    W0 = np.abs(rng.random((Xd.shape[0], k))).astype(np.float32)
+    H0 = np.abs(rng.random((k, Xd.shape[1]))).astype(np.float32)
+
+    algs = {
+        "multmse": nmf_tpu.MultUpdate(obj="mse", maxiter=5),
+        "cd": nmf_tpu.CoordinateDescent(maxiter=5),
+        "greedycd": nmf_tpu.GreedyCD(maxiter=4),
+        "projals": nmf_tpu.ProjectedALS(maxiter=5),
+        "alspgrad": nmf_tpu.ALSPGrad(maxiter=3, maxsubiter=5),
+    }
+    dense = nmf_tpu.solve(algs[alg], jnp.asarray(Xd), jnp.asarray(W0), jnp.asarray(H0))
+    Wd = jax.device_put(jnp.asarray(W0), w_sharding(mesh))
+    Hd = jax.device_put(jnp.asarray(H0), h_sharding(mesh))
+    sp = nmf_tpu.solve(algs[alg], X, Wd, Hd)
+    assert sp.niters == dense.niters
+    np.testing.assert_allclose(np.asarray(sp.W), np.asarray(dense.W), rtol=5e-4, atol=1e-4)
+    assert np.isclose(sp.objvalue, dense.objvalue, rtol=1e-4)
+
+
+@requires_multidevice
+def test_sharded_sparse_kl_raises():
+    Xd, r, c, rng = make(p=256, n=192)
+    mesh = make_mesh((2, 4))
+    X = shard_tiled(r, c, Xd[r, c], Xd.shape, mesh, stripe_tiles=1)
+    with pytest.raises(NotImplementedError):
+        nmf_tpu.solve(
+            nmf_tpu.MultUpdate(obj="div", maxiter=3),
+            X,
+            jnp.asarray(np.abs(rng.random((256, 4))).astype(np.float32)),
+            jnp.asarray(np.abs(rng.random((4, 192))).astype(np.float32)),
+        )
