@@ -3,13 +3,23 @@
 Computes ``out = X @ D`` for sparse X (nnz binned into 128x128 tiles, see
 ``nmf_tpu.ops.sparse_format``) and dense D (n x k), as:
 
-* grid (stripe, col_panel); the D column panel (k x 128) and the out stripe
-  (k x stripe_rows) live in VMEM;
+* the D column panel (k x 128) and the out stripe (k x stripe_rows) live in
+  VMEM;
 * per tile chunk (128 nnz): one ``tpu.dynamic_gather`` along lanes pulls each
   nnz's D column out of the panel, a fused VPU multiply scales by the values,
   and one 128x128 one-hot MXU matmul scatters into the out stripe;
 * the out stripe is DMA'd to HBM once per stripe (the output lives in ANY
   memory space so the automatic per-step block write-back is avoided).
+
+Two layouts share that chunk pipeline:
+
+* **grid** (``TiledSide``): grid (stripe, col_panel) over a dense tile grid
+  padded to a uniform ``max_chunks`` chunks per tile;
+* **compact** (``TiledSideC``, default): 1-D grid over windows of ``group``
+  chunks covering only *nonempty* tiles; scalar-prefetched per-window maps
+  pick the D panel and detect stripe boundaries (accumulator zero/flush), and
+  each chunk's row panel streams through SMEM.  This removes both empty-tile
+  work and the max_chunks padding — the layout that survives power-law data.
 
 Everything is (k on sublanes x 128 lanes) layout; the caller passes D
 transposed and transposes the (k x p) result back — two cheap XLA transposes
@@ -18,6 +28,11 @@ around the heavy op.
 XLA's own sparse paths (BCOO / gather+scatter-add) measure ~95 Mnnz/s on
 v5e (docs/sparse_kernel_design.md); this kernel's cost model is one VPU pass
 of (k x 128) work per gather/scale plus a 128x128xk MXU op per chunk.
+
+Precision of the one-hot MXU scatter (TPU matmuls are bf16-pass based):
+``"highest"``/``"exact"`` = 3-way bf16 split of the scaled operand (exact
+f32), ``"high"`` = 2-way split (~2^-16 relative), ``"fast"``/``"default"`` =
+single bf16 pass (~1e-3 relative).
 """
 
 from __future__ import annotations
@@ -30,9 +45,54 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..sparse_format import TILE, TiledCSR, TiledSide
+from ..sparse_format import TILE, TiledCSR, TiledSide, TiledSideC
 
 __all__ = ["tiled_matmul_t", "tiled_mm", "tiled_mtm"]
+
+
+def _resolve_precision(precision: str) -> str:
+    if precision in ("highest", "exact"):
+        return "exact"
+    if precision == "high":
+        return "high"
+    return "fast"
+
+
+def _chunk_update(acc_ref, dblk, lrow, lcol, val, rr, K, precision, rp):
+    """One 128-nnz chunk: lane-gather D columns, scale, one-hot MXU scatter
+    into the accumulator's row panel ``rp``."""
+    idx = jnp.broadcast_to(lcol[None, :], (K, TILE))
+    gathered = jnp.take_along_axis(dblk, idx, axis=1)
+    scaled = gathered * val[None, :]
+    onehot = (lrow[:, None] == rr).astype(jnp.bfloat16)
+
+    def bf16_dot(a_bf16):
+        return jax.lax.dot_general(
+            a_bf16,
+            onehot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if precision == "exact":
+        # One-hot entries are exactly representable in bf16, so a 3-way bf16
+        # split of `scaled` recovers full f32 precision in 3 MXU passes
+        # (HIGHEST would burn 6 on splitting both sides).
+        s1 = scaled.astype(jnp.bfloat16)
+        r1 = scaled - s1.astype(jnp.float32)
+        s2 = r1.astype(jnp.bfloat16)
+        s3 = (r1 - s2.astype(jnp.float32)).astype(jnp.bfloat16)
+        contrib = bf16_dot(s1) + bf16_dot(s2) + bf16_dot(s3)
+    elif precision == "high":
+        # 2-way split: ~16 mantissa bits (~2^-16 relative) in 2 MXU passes
+        s1 = scaled.astype(jnp.bfloat16)
+        s2 = (scaled - s1.astype(jnp.float32)).astype(jnp.bfloat16)
+        contrib = bf16_dot(s1) + bf16_dot(s2)
+    else:
+        # single bf16 pass: ~1e-3 relative rounding of `scaled`
+        contrib = bf16_dot(scaled.astype(jnp.bfloat16))
+    off = pl.multiple_of(rp * TILE, TILE)
+    acc_ref[:, pl.ds(off, TILE)] += contrib
 
 
 def _make_kernel(tiles_per_step, max_chunks, n_colpanels, stripe_width, K, precision: str):
@@ -48,34 +108,10 @@ def _make_kernel(tiles_per_step, max_chunks, n_colpanels, stripe_width, K, preci
 
         def tile_body(t, carry):
             rp = t // max_chunks
-            cols = lcols_ref[t, :]
-            idx = jnp.broadcast_to(cols[None, :], (K, TILE))
-            gathered = jnp.take_along_axis(dblk, idx, axis=1)
-            scaled = gathered * vals_ref[t, :][None, :]
-            onehot = (lrows_ref[t, :][:, None] == rr).astype(jnp.bfloat16)
-
-            def bf16_dot(a_bf16):
-                return jax.lax.dot_general(
-                    a_bf16,
-                    onehot,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-
-            if precision == "exact":
-                # One-hot entries are exactly representable in bf16, so a
-                # 3-way bf16 split of `scaled` recovers full f32 precision in
-                # 3 MXU passes (HIGHEST would burn 6 on splitting both sides).
-                s1 = scaled.astype(jnp.bfloat16)
-                r1 = scaled - s1.astype(jnp.float32)
-                s2 = r1.astype(jnp.bfloat16)
-                s3 = (r1 - s2.astype(jnp.float32)).astype(jnp.bfloat16)
-                contrib = bf16_dot(s1) + bf16_dot(s2) + bf16_dot(s3)
-            else:
-                # single bf16 pass: ~1e-3 relative rounding of `scaled`
-                contrib = bf16_dot(scaled.astype(jnp.bfloat16))
-            off = pl.multiple_of(rp * TILE, TILE)
-            acc_ref[:, pl.ds(off, TILE)] += contrib
+            _chunk_update(
+                acc_ref, dblk, lrows_ref[t, :], lcols_ref[t, :], vals_ref[t, :],
+                rr, K, precision, rp,
+            )
             return carry
 
         jax.lax.fori_loop(0, tiles_per_step, tile_body, 0)
@@ -94,12 +130,50 @@ def _make_kernel(tiles_per_step, max_chunks, n_colpanels, stripe_width, K, preci
     return kernel
 
 
+def _make_kernel_compact(G, stripe_width, K, precision: str):
+    def kernel(
+        win_panel, win_stripe, rp_ref, lrows_ref, lcols_ref, vals_ref, dt_ref,
+        out_hbm, acc_ref, copy_sem,
+    ):
+        i = pl.program_id(0)
+        s = win_stripe[i]
+        prev = win_stripe[jnp.maximum(i - 1, 0)]
+
+        @pl.when(jnp.logical_or(i == 0, prev != s))
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        dblk = dt_ref[:]  # (K, TILE)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+
+        # unrolled: static chunk slices (no dynamic sublane reads) and VPU/MXU
+        # instruction overlap across chunks
+        for t in range(G):
+            _chunk_update(
+                acc_ref, dblk, lrows_ref[t, :], lcols_ref[t, :], vals_ref[t, :],
+                rr, K, precision, rp_ref[i * G + t],
+            )
+
+        # flush when the next window starts a new stripe (sentinel -1 at end)
+        @pl.when(win_stripe[i + 1] != s)
+        def _():
+            copy = pltpu.make_async_copy(
+                acc_ref,
+                out_hbm.at[:, pl.ds(s * stripe_width, stripe_width)],
+                copy_sem,
+            )
+            copy.start()
+            copy.wait()
+
+    return kernel
+
+
 @partial(jax.jit, static_argnames=("meta", "interpret", "precision"))
 def _tiled_matmul_impl(lrows, lcols, vals, Dt, meta, interpret=False, precision="highest"):
     # interpret: False (compile) | True | pltpu.InterpretParams (TPU semantics)
     (n_stripes, n_colpanels, tiles_per_step, max_chunks, stripe_width, p_pad) = meta
     K = Dt.shape[0]
-    prec = "exact" if precision in ("highest", "exact") else "fast"
+    prec = _resolve_precision(precision)
     kernel = _make_kernel(tiles_per_step, max_chunks, n_colpanels, stripe_width, K, prec)
 
     grid = (n_stripes, n_colpanels)
@@ -124,7 +198,7 @@ def _tiled_matmul_impl(lrows, lcols, vals, Dt, meta, interpret=False, precision=
             ),
             pl.BlockSpec((K, TILE), lambda s, j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((K, p_pad), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((K, stripe_width), jnp.float32),
@@ -141,7 +215,55 @@ def _tiled_matmul_impl(lrows, lcols, vals, Dt, meta, interpret=False, precision=
     return out
 
 
-def tiled_matmul_t(side: TiledSide, D, *, interpret: bool = False, precision: str = "highest"):
+@partial(jax.jit, static_argnames=("meta", "interpret", "precision"))
+def _tiled_matmul_compact_impl(
+    chunk_rp, win_panel, win_stripe, lrows, lcols, vals, Dt, meta,
+    interpret=False, precision="highest",
+):
+    (n_stripes, n_colpanels, n_windows, G, stripe_width, p_pad) = meta
+    K = Dt.shape[0]
+    prec = _resolve_precision(precision)
+    kernel = _make_kernel_compact(G, stripe_width, K, prec)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_windows,),
+        in_specs=[
+            pl.BlockSpec(
+                (G, TILE), lambda i, wp, ws, rp: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (G, TILE), lambda i, wp, ws, rp: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (G, TILE), lambda i, wp, ws, rp: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (K, TILE), lambda i, wp, ws, rp: (0, wp[i]), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((K, stripe_width), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K, p_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * lrows.shape[0] * TILE * TILE * K,
+            bytes_accessed=3 * lrows.size * 4 + Dt.size * 4 * n_stripes + K * p_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(win_panel, win_stripe, chunk_rp.reshape(-1), lrows, lcols, vals, Dt)
+    return out
+
+
+def tiled_matmul_t(side, D, *, interpret: bool = False, precision: str = "highest"):
     """``(X @ D)`` for one tiling orientation; returns (rows, k)."""
     if jax.default_backend() == "cpu":
         # Mosaic only lowers on TPU; use the TPU-semantics interpreter
@@ -149,7 +271,6 @@ def tiled_matmul_t(side: TiledSide, D, *, interpret: bool = False, precision: st
     p, n = side.rows, side.cols
     k = D.shape[1]
     K = -(-k // 8) * 8  # sublane-align
-    max_chunks = side.max_chunks
     stripe_width = side.panels_per_stripe * TILE
     p_pad = side.n_stripes * stripe_width
 
@@ -157,31 +278,64 @@ def tiled_matmul_t(side: TiledSide, D, *, interpret: bool = False, precision: st
     n_pad = side.n_colpanels * TILE
     Dt = jnp.pad(Dt, ((0, K - k), (0, n_pad - Dt.shape[1])))
 
-    meta = (
-        side.n_stripes,
-        side.n_colpanels,
-        side.tiles_per_step,
-        max_chunks,
-        stripe_width,
-        p_pad,
-    )
-    out = _tiled_matmul_impl(
-        jnp.asarray(side.lrows),
-        jnp.asarray(side.lcols),
-        jnp.asarray(side.vals, jnp.float32),
-        Dt,
-        meta,
-        interpret,
-        precision,
-    )
+    if isinstance(side, TiledSideC):
+        meta = (
+            side.n_stripes,
+            side.n_colpanels,
+            side.n_windows,
+            side.group,
+            stripe_width,
+            p_pad,
+        )
+        out = _tiled_matmul_compact_impl(
+            side.chunk_rp,
+            side.win_panel,
+            side.win_stripe,
+            side.lrows,
+            side.lcols,
+            jnp.asarray(side.vals, jnp.float32),
+            Dt,
+            meta,
+            interpret,
+            precision,
+        )
+    else:
+        meta = (
+            side.n_stripes,
+            side.n_colpanels,
+            side.tiles_per_step,
+            side.max_chunks,
+            stripe_width,
+            p_pad,
+        )
+        out = _tiled_matmul_impl(
+            jnp.asarray(side.lrows),
+            jnp.asarray(side.lcols),
+            jnp.asarray(side.vals, jnp.float32),
+            Dt,
+            meta,
+            interpret,
+            precision,
+        )
     return out[:k, :p].T
 
 
 def tiled_mm(X: TiledCSR, D, *, interpret: bool = False, precision: str = "highest"):
-    """``X @ D`` (p x k)."""
-    return tiled_matmul_t(X.fwd, D, interpret=interpret, precision=precision)
+    """``X @ D`` (p x k).  Degree-ordered tilings gather D's rows into the
+    renumbered coordinates and scatter the output back (see build_tiled)."""
+    if X.col_perm is not None:
+        D = jnp.take(D, X.col_perm, axis=0)
+    out = tiled_matmul_t(X.fwd, D, interpret=interpret, precision=precision)
+    if X.row_rank is not None:
+        out = jnp.take(out, X.row_rank, axis=0)
+    return out
 
 
 def tiled_mtm(X: TiledCSR, D, *, interpret: bool = False, precision: str = "highest"):
     """``X.T @ D`` (n x k)."""
-    return tiled_matmul_t(X.bwd, D, interpret=interpret, precision=precision)
+    if X.row_perm is not None:
+        D = jnp.take(D, X.row_perm, axis=0)
+    out = tiled_matmul_t(X.bwd, D, interpret=interpret, precision=precision)
+    if X.col_rank is not None:
+        out = jnp.take(out, X.col_rank, axis=0)
+    return out

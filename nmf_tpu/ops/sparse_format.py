@@ -34,7 +34,14 @@ from ..models.common import data_field, static_field
 
 TILE = 128  # row-panel height == col-panel width == chunk capacity
 
-__all__ = ["TILE", "TiledSide", "TiledCSR", "build_tiled", "from_bcoo"]
+__all__ = [
+    "TILE",
+    "TiledSide",
+    "TiledSideC",
+    "TiledCSR",
+    "build_tiled",
+    "from_bcoo",
+]
 
 
 @jax.tree_util.register_dataclass
@@ -57,14 +64,52 @@ class TiledSide:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class TiledSideC:
+    """Compact orientation: only *nonempty* tiles carry chunks.
+
+    Chunks are stored flat, grouped by (stripe, col_panel) with each group
+    padded to a multiple of ``group`` chunks; per-window scalar maps
+    (``win_panel``/``win_stripe``, +1 sentinel entry) drive the kernel's
+    scalar-prefetched index maps, and ``chunk_rp`` carries each chunk's row
+    panel within its stripe.  Versus the dense-grid ``TiledSide`` this drops
+    both the empty-tile chunks and the uniform ``max_chunks`` padding — the
+    pad ratio falls from ``max_tile_nnz``-driven to the tail-chunk minimum,
+    which is what makes power-law data (the MovieLens-style config) viable.
+    """
+
+    lrows: jax.Array = data_field()  # (nwin*group, TILE) int32, row within panel
+    lcols: jax.Array = data_field()  # (nwin*group, TILE) int32, col within panel
+    vals: jax.Array = data_field()  # (nwin*group, TILE) float
+    chunk_rp: jax.Array = data_field()  # (nwin, group) int32, row panel in stripe
+    win_panel: jax.Array = data_field()  # (nwin+1,) int32 col panel per window
+    win_stripe: jax.Array = data_field()  # (nwin+1,) int32 stripe per window (-1 sentinel)
+    perm: jax.Array = data_field()  # (nnz,) int64: CSR-order slot in vals
+    n_stripes: int = static_field(default=1)
+    n_colpanels: int = static_field(default=1)
+    n_windows: int = static_field(default=1)
+    group: int = static_field(default=8)
+    panels_per_stripe: int = static_field(default=1)
+    rows: int = static_field(default=0)
+    cols: int = static_field(default=0)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class TiledCSR:
     """Both orientations + CSR-order COO arrays."""
 
     fwd: TiledSide = data_field()  # X tiling (p x n)
     bwd: TiledSide = data_field()  # X' tiling (n x p)
-    row_idx: jax.Array = data_field()  # (nnz,) int32, CSR order
+    row_idx: jax.Array = data_field()  # (nnz,) int32, CSR order, ORIGINAL coords
     col_idx: jax.Array = data_field()  # (nnz,) int32
     values: jax.Array = data_field()  # (nnz,)
+    # degree-sort renumbering (None = natural order): the tilings are built in
+    # renumbered coordinates so head rows/cols pack into dense tiles;
+    # ``*_perm[sorted] = original``, ``*_rank[original] = sorted``
+    row_perm: jax.Array | None = data_field(default=None)
+    row_rank: jax.Array | None = data_field(default=None)
+    col_perm: jax.Array | None = data_field(default=None)
+    col_rank: jax.Array | None = data_field(default=None)
     shape: tuple[int, int] = static_field(default=(0, 0))
 
     @property
@@ -94,19 +139,25 @@ class TiledCSR:
             .set(new_values)
             .reshape(self.bwd.vals.shape)
         )
-        return TiledCSR(
-            dataclasses.replace(self.fwd, vals=fwd_vals),
-            dataclasses.replace(self.bwd, vals=bwd_vals),
-            self.row_idx,
-            self.col_idx,
-            new_values,
-            self.shape,
+        return dataclasses.replace(
+            self,
+            fwd=dataclasses.replace(self.fwd, vals=fwd_vals),
+            bwd=dataclasses.replace(self.bwd, vals=bwd_vals),
+            values=new_values,
         )
 
     def transpose(self):
-        return TiledCSR(
-            self.bwd, self.fwd, self.col_idx, self.row_idx, self.values,
-            (self.shape[1], self.shape[0]),
+        return dataclasses.replace(
+            self,
+            fwd=self.bwd,
+            bwd=self.fwd,
+            row_idx=self.col_idx,
+            col_idx=self.row_idx,
+            row_perm=self.col_perm,
+            row_rank=self.col_rank,
+            col_perm=self.row_perm,
+            col_rank=self.row_rank,
+            shape=(self.shape[1], self.shape[0]),
         )
 
 
@@ -170,33 +221,184 @@ def _build_side(rows, cols, vals, p, n, stripe_tiles):
     )
 
 
-def build_tiled(rows, cols, vals, shape, *, stripe_tiles: int = 32) -> TiledCSR:
+def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group):
+    """Bin (row, col, val) into the compact chunk layout for one orientation."""
+    if group % 8:
+        raise ValueError(f"group must be a multiple of 8 (sublane tiling), got {group}")
+    n_rowpanels = -(-p // TILE)
+    n_colpanels = -(-n // TILE)
+    stripe_tiles = min(stripe_tiles, n_rowpanels)
+    n_stripes = -(-n_rowpanels // stripe_tiles)
+
+    rp = rows // TILE
+    cp = cols // TILE
+    stripe = rp // stripe_tiles
+    rps = rp % stripe_tiles
+
+    order = np.lexsort((rps, cp, stripe))
+    s_rows, s_cols, s_vals = rows[order], cols[order], vals[order]
+    s_stripe, s_cp, s_rps = stripe[order], cp[order], rps[order]
+
+    tkey = (s_stripe.astype(np.int64) * n_colpanels + s_cp) * stripe_tiles + s_rps
+    tiles, t_first, counts = np.unique(tkey, return_index=True, return_counts=True)
+    nchunks_tile = -(-counts // TILE)
+    gkey_tile = tiles // stripe_tiles  # (stripe * n_colpanels + col_panel)
+
+    if len(tiles):
+        g_uniq, g_first = np.unique(gkey_tile, return_index=True)
+        chunks_per_group = np.add.reduceat(nchunks_tile, g_first)
+    else:
+        g_uniq = np.zeros(0, np.int64)
+        chunks_per_group = np.zeros(0, np.int64)
+    padded_per_group = -(-chunks_per_group // group) * group
+
+    # every out stripe must be flushed at least once: give empty stripes a
+    # dummy all-padding group (group zero-chunks at col panel 0)
+    missing = np.setdiff1d(np.arange(n_stripes, dtype=np.int64), g_uniq // n_colpanels)
+    if len(missing):
+        g_uniq = np.concatenate([g_uniq, missing * n_colpanels])
+        padded_per_group = np.concatenate(
+            [padded_per_group, np.full(len(missing), group, np.int64)]
+        )
+        o2 = np.argsort(g_uniq, kind="stable")
+        g_uniq, padded_per_group = g_uniq[o2], padded_per_group[o2]
+
+    group_base = np.concatenate([[0], np.cumsum(padded_per_group)])[:-1]
+    total_chunks = int(padded_per_group.sum()) if len(padded_per_group) else group
+    if not len(padded_per_group):  # fully empty matrix, single dummy window
+        g_uniq = np.zeros(1, np.int64)
+        padded_per_group = np.full(1, group, np.int64)
+        group_base = np.zeros(1, np.int64)
+    n_windows = total_chunks // group
+
+    lrows = np.zeros((total_chunks, TILE), np.int32)
+    lcols = np.zeros((total_chunks, TILE), np.int32)
+    out_vals = np.zeros((total_chunks, TILE), np.float32)
+    chunk_rp = np.zeros(total_chunks, np.int32)
+
+    if len(tiles):
+        # tile -> global chunk base: group base + exclusive cumsum within group
+        cs = np.cumsum(nchunks_tile) - nchunks_tile
+        _, gf, ginv = np.unique(gkey_tile, return_index=True, return_inverse=True)
+        within = cs - cs[gf][ginv]
+        grp_of_tile = np.searchsorted(g_uniq, gkey_tile)
+        tile_chunk_base = group_base[grp_of_tile] + within
+
+        # per-nnz chunk/slot
+        pos_in_tile = np.arange(len(tkey)) - np.repeat(t_first, counts)
+        chunk_within = pos_in_tile // TILE
+        slot = pos_in_tile % TILE
+        tile_of_nnz = np.searchsorted(tiles, tkey)
+        chunk_idx = tile_chunk_base[tile_of_nnz] + chunk_within
+
+        lrows[chunk_idx, slot] = (s_rows % TILE).astype(np.int32)
+        lcols[chunk_idx, slot] = (s_cols % TILE).astype(np.int32)
+        out_vals[chunk_idx, slot] = s_vals
+
+        # row panel of every (non-padding) chunk
+        tot = int(nchunks_tile.sum())
+        expand = np.arange(tot) - np.repeat(cs, nchunks_tile)
+        all_chunk_idx = np.repeat(tile_chunk_base, nchunks_tile) + expand
+        chunk_rp[all_chunk_idx] = np.repeat(tiles % stripe_tiles, nchunks_tile).astype(
+            np.int32
+        )
+
+        flat_slot = chunk_idx * TILE + slot
+        perm = np.empty(len(tkey), np.int64)
+        perm[order] = flat_slot
+    else:
+        perm = np.zeros(0, np.int64)
+
+    win_per_group = (padded_per_group // group).astype(np.int64)
+    win_stripe = np.repeat((g_uniq // n_colpanels).astype(np.int32), win_per_group)
+    win_panel = np.repeat((g_uniq % n_colpanels).astype(np.int32), win_per_group)
+    win_stripe = np.append(win_stripe, -1).astype(np.int32)  # sentinel: final flush
+    win_panel = np.append(win_panel, 0).astype(np.int32)
+
+    return TiledSideC(
+        jnp.asarray(lrows),
+        jnp.asarray(lcols),
+        jnp.asarray(out_vals),
+        jnp.asarray(chunk_rp.reshape(n_windows, group)),
+        jnp.asarray(win_panel),
+        jnp.asarray(win_stripe),
+        jnp.asarray(perm),
+        n_stripes,
+        n_colpanels,
+        n_windows,
+        group,
+        stripe_tiles,
+        p,
+        n,
+    )
+
+
+def build_tiled(
+    rows, cols, vals, shape, *, stripe_tiles: int = 32, layout: str = "compact",
+    group: int = 16, order: str = "degree",
+) -> TiledCSR:
     """Build both tiling orientations from COO data (deduped).
 
     ``stripe_tiles`` row panels per stripe: the kernel's out scratch is
     ``stripe_tiles * 128`` rows x k values (32 panels x k=128 x f32 = 2 MB
-    VMEM).
+    VMEM).  ``layout="compact"`` (default) stores only nonempty tiles' chunks
+    with scalar-prefetched window maps; ``layout="grid"`` is the dense
+    stripe x panel grid with uniform ``max_chunks`` padding.  ``group`` is the
+    chunks-per-grid-step granularity of the compact kernel.
+
+    ``order="degree"`` renumbers rows and columns by descending degree before
+    binning, so power-law data (ratings matrices) packs its head into dense
+    tiles instead of scattering tail nonzeros one-per-128-slot-chunk; the
+    kernel wrappers gather/scatter factor rows through the stored
+    permutations (two O(len*k) gathers per product).  ``order="natural"``
+    keeps original coordinates.
     """
     p, n = shape
     rows = np.asarray(rows, np.int32)
     cols = np.asarray(cols, np.int32)
     vals = np.asarray(vals, np.float32)
-    order = np.lexsort((cols, rows))
-    rows, cols, vals = rows[order], cols[order], vals[order]
-    fwd = _build_side(rows, cols, vals, p, n, stripe_tiles)
-    bwd = _build_side(cols, rows, vals, n, p, stripe_tiles)
+    so = np.lexsort((cols, rows))
+    rows, cols, vals = rows[so], cols[so], vals[so]
+
+    row_perm = row_rank = col_perm = col_rank = None
+    rows_t, cols_t = rows, cols
+    if order == "degree":
+        rdeg = np.bincount(rows, minlength=p)
+        cdeg = np.bincount(cols, minlength=n)
+        row_perm = np.argsort(-rdeg, kind="stable").astype(np.int32)
+        col_perm = np.argsort(-cdeg, kind="stable").astype(np.int32)
+        row_rank = np.empty(p, np.int32)
+        row_rank[row_perm] = np.arange(p, dtype=np.int32)
+        col_rank = np.empty(n, np.int32)
+        col_rank[col_perm] = np.arange(n, dtype=np.int32)
+        rows_t = row_rank[rows]
+        cols_t = col_rank[cols]
+
+    if layout == "compact":
+        fwd = _build_side_compact(rows_t, cols_t, vals, p, n, stripe_tiles, group)
+        bwd = _build_side_compact(cols_t, rows_t, vals, n, p, stripe_tiles, group)
+    else:
+        fwd = _build_side(rows_t, cols_t, vals, p, n, stripe_tiles)
+        bwd = _build_side(cols_t, rows_t, vals, n, p, stripe_tiles)
+    asarray = lambda a: None if a is None else jnp.asarray(a)
     return TiledCSR(
         fwd,
         bwd,
         jnp.asarray(rows),
         jnp.asarray(cols),
         jnp.asarray(vals),
+        asarray(row_perm),
+        asarray(row_rank),
+        asarray(col_perm),
+        asarray(col_rank),
         (p, n),
     )
 
 
-def from_bcoo(X, *, stripe_tiles: int = 32) -> TiledCSR:
+def from_bcoo(X, *, stripe_tiles: int = 32, layout: str = "compact",
+              group: int = 16, order: str = "degree") -> TiledCSR:
     idx = np.asarray(X.indices)
     return build_tiled(
-        idx[:, 0], idx[:, 1], np.asarray(X.data), X.shape, stripe_tiles=stripe_tiles
+        idx[:, 0], idx[:, 1], np.asarray(X.data), X.shape,
+        stripe_tiles=stripe_tiles, layout=layout, group=group, order=order,
     )

@@ -10,12 +10,49 @@ from nmf_tpu.ops import matops
 from nmf_tpu.ops.sparse_format import TILE, build_tiled
 
 
-def make(seed=0, p=300, n=260, k=8, density=0.05):
+def make(seed=0, p=300, n=260, k=8, density=0.05, layout="compact", group=8):
     rng = np.random.default_rng(seed)
     Xd = (rng.random((p, n)) * (rng.random((p, n)) < density)).astype(np.float32)
     r, c = np.nonzero(Xd)
-    X = build_tiled(r, c, Xd[r, c], (p, n), stripe_tiles=2)
+    X = build_tiled(r, c, Xd[r, c], (p, n), stripe_tiles=2, layout=layout, group=group)
     return Xd, X, rng
+
+
+@pytest.mark.parametrize("layout", ["grid", "compact"])
+@pytest.mark.parametrize("precision", ["highest", "high", "fast"])
+def test_layouts_precisions_match_dense(layout, precision):
+    from nmf_tpu.ops.pallas.sparse import tiled_mm, tiled_mtm
+
+    Xd, X, rng = make(layout=layout, group=8)
+    D = jnp.asarray(rng.random((Xd.shape[1], 8)).astype(np.float32))
+    tol = dict(highest=1e-5, high=2e-4, fast=5e-3)[precision]
+    got = np.asarray(tiled_mm(X, D, precision=precision))
+    want = Xd @ np.asarray(D)
+    np.testing.assert_allclose(got, want, rtol=tol, atol=tol * np.abs(want).max())
+    D2 = jnp.asarray(rng.random((Xd.shape[0], 8)).astype(np.float32))
+    got2 = np.asarray(tiled_mtm(X, D2, precision=precision))
+    want2 = Xd.T @ np.asarray(D2)
+    np.testing.assert_allclose(got2, want2, rtol=tol, atol=tol * np.abs(want2).max())
+
+
+def test_compact_empty_stripes_and_powerlaw():
+    # all nnz in the first and last row panels: middle stripes are empty and
+    # must still flush zeros; power-law column skew exercises uneven groups
+    rng = np.random.default_rng(3)
+    p, n, nnz = 1200, 700, 4000
+    rows = np.where(rng.random(nnz) < 0.5, rng.integers(0, 90, nnz), rng.integers(p - 40, p, nnz))
+    cols = np.minimum((rng.pareto(1.1, nnz) * 3).astype(np.int64), n - 1)
+    vals = rng.random(nnz).astype(np.float32)
+    Xd = np.zeros((p, n), np.float32)
+    np.add.at(Xd, (rows, cols), vals)
+    r, c = np.nonzero(Xd)
+    X = build_tiled(r, c, Xd[r, c], (p, n), stripe_tiles=2, layout="compact", group=8)
+    D = jnp.asarray(rng.random((n, 9)).astype(np.float32))
+    got = np.asarray(matops.mm(X, D))
+    np.testing.assert_allclose(got, Xd @ np.asarray(D), rtol=2e-5, atol=1e-4)
+    D2 = jnp.asarray(rng.random((p, 9)).astype(np.float32))
+    got2 = np.asarray(matops.mtm(D2.T, X))
+    np.testing.assert_allclose(got2, np.asarray(D2).T @ Xd, rtol=2e-5, atol=1e-4)
 
 
 def test_format_roundtrip():
