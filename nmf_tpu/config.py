@@ -10,21 +10,112 @@ compiler already does").  The kernels remain available (a) as an opt-in
 backend, (b) for interpret-mode testing, and (c) as the scaffolding for the
 sparse gather-matmul path where XLA has no good answer.
 
-``matmul_precision``: None leaves jax defaults (on TPU: bf16 passes for f32
-matmuls — fastest, ~1e-3 convergence floor); "highest" forces full-precision
-f32 for reference-matching convergence on TPU.  CPU is always full precision.
-Use ``jax.default_matmul_precision("highest")`` around a solve, or set this
-knob and call ``apply_matmul_precision`` at entry points.
+``matmul_precision``: global override for the matmul precision used inside
+solver loops.  ``None`` (default) means **auto**: on TPU each solver gets the
+per-solver default from ``SOLVER_PRECISION`` (measured in
+``benchmarks/precision_sweep.py``); on CPU matmuls are always exact f32/f64.
+Set to one of jax's precision names ("default", "high" = 3-pass bf16 on TPU,
+"highest" = exact f32) to force it everywhere, e.g.
+``nmf_tpu.config.set_matmul_precision("highest")`` for reference-matching
+convergence floors at ~2-6x per-iteration cost on bandwidth-light shapes.
+
+Background (v5e, measured — benchmarks/precision_sweep.py, docs/precision.md):
+with jax's TPU default, f32 matmuls run as single bf16 passes; iterative NMF
+solvers then plateau at ~1e-3 relative reconstruction error instead of
+reaching the f32 floor (~1e-6).  "high" (3-pass bf16) recovers most of the
+floor; "highest" (6-pass) matches CPU convergence.
 """
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 
-__all__ = ["use_pallas", "set_use_pallas", "pallas_enabled", "matmul_precision"]
+__all__ = [
+    "use_pallas",
+    "set_use_pallas",
+    "pallas_enabled",
+    "matmul_precision",
+    "set_matmul_precision",
+    "solver_precision",
+    "precision_scope",
+    "SOLVER_PRECISION",
+    "verbose_chunk",
+    "set_verbose_chunk",
+    "effective_verbose_chunk",
+]
 
 _use_pallas: bool = False
 matmul_precision: str | None = None
+
+#: Iterations batched per device round-trip in ``verbose=True`` solves.
+#: None = auto: 16 on TPU (a dispatch+readback over the axon tunnel costs
+#: ~30-50 ms, so per-iteration stepping is seconds/row), 1 elsewhere (exact
+#: per-iteration wall clock in the table, like the reference).
+verbose_chunk: int | None = None
+
+
+def set_verbose_chunk(value: int | None):
+    global verbose_chunk
+    if value is not None and (not isinstance(value, int) or value < 1):
+        raise ValueError("verbose_chunk must be a positive int or None")
+    verbose_chunk = value
+
+
+def effective_verbose_chunk() -> int:
+    if verbose_chunk is not None:
+        return verbose_chunk
+    return 16 if _on_tpu() else 1
+
+#: Per-solver matmul precision applied on TPU when ``matmul_precision`` is
+#: None (auto).  Values are jax precision names or None (= leave the backend
+#: default).  Chosen from the TPU sweep in ``benchmarks/precision_sweep.py``
+#: (see docs/precision.md): solvers whose convergence quality collapses under
+#: single-pass bf16 get a higher default; solvers that are insensitive keep
+#: the fast path.
+SOLVER_PRECISION: dict[str, str | None] = {}
+
+
+def set_matmul_precision(value: str | None):
+    """Force a global matmul precision for all solver loops (None = auto)."""
+    global matmul_precision
+    allowed = (
+        None,
+        "default",
+        "bfloat16",
+        "high",
+        "tensorfloat32",
+        "float32",
+        "highest",
+    )
+    if value not in allowed:
+        raise ValueError(f"matmul_precision must be one of {allowed}")
+    matmul_precision = value
+
+
+def solver_precision(alg) -> str | None:
+    """Resolve the effective matmul precision for a solver options object
+    (or class-name string).  Looks up ``"Name:obj"`` first (e.g.
+    ``"MultUpdate:div"``), then ``"Name"``."""
+    if matmul_precision is not None:
+        return matmul_precision
+    if not _on_tpu():
+        return None
+    name = alg if isinstance(alg, str) else type(alg).__name__
+    obj = getattr(alg, "obj", None)
+    if obj is not None:
+        keyed = SOLVER_PRECISION.get(f"{name}:{obj}")
+        if keyed is not None:
+            return keyed
+    return SOLVER_PRECISION.get(name)
+
+
+def precision_scope(value: str | None):
+    """Context manager applying a jax matmul precision (None = no-op)."""
+    if value is None:
+        return contextlib.nullcontext()
+    return jax.default_matmul_precision(value)
 
 
 def set_use_pallas(value: bool):

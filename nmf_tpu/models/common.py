@@ -306,6 +306,48 @@ def _solve_step(upd, state, X, W, H, tol):
     return Wn, Hn, sn, converged, dev
 
 
+@partial(jax.jit, static_argnames=("chunk",))
+def _solve_chunk(upd, state, X, W, H, remaining, tol, chunk: int):
+    """Run up to ``chunk`` iterations on device, recording per-iteration
+    (objective, relchange) history — one dispatch + one readback per chunk
+    instead of per iteration.  This batches the verbose table over the
+    device link (over the axon tunnel a single dispatch costs ~30-50 ms, so
+    per-iteration stepping is seconds/row).  Results are identical to
+    single-stepping; only the wall-clock column granularity changes."""
+    impl = _impl_for(upd)
+    dt = W.dtype
+
+    class _CCarry(NamedTuple):
+        c: _Carry
+        objv_hist: jax.Array
+        dev_hist: jax.Array
+
+    steps = jnp.minimum(jnp.asarray(chunk, jnp.int32), remaining)
+
+    def cond(cc: _CCarry):
+        return jnp.logical_and(~cc.c.converged, cc.c.t < steps)
+
+    def body(cc: _CCarry):
+        c = cc.c
+        Wn, Hn, sn = impl.update(upd, c.state, X, c.W, c.H)
+        converged, dev = stop_condition(Wn, c.W, Hn, c.H, tol)
+        objv = impl.objective(upd, sn, X, Wn, Hn)
+        return _CCarry(
+            _Carry(Wn, Hn, sn, c.t + 1, converged, dev),
+            cc.objv_hist.at[c.t].set(objv),
+            cc.dev_hist.at[c.t].set(dev),
+        )
+
+    init = _CCarry(
+        _Carry(W, H, state, jnp.zeros((), jnp.int32), jnp.zeros((), bool), jnp.zeros((), dt)),
+        jnp.full((chunk,), jnp.nan, dt),
+        jnp.full((chunk,), jnp.nan, dt),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    c = out.c
+    return c.W, c.H, c.state, c.t, c.converged, out.objv_hist, out.dev_hist
+
+
 @jax.jit
 def _prepare(upd, X, W, H):
     return _impl_for(upd).prepare(upd, X, W, H)
@@ -326,6 +368,13 @@ def nmf_skeleton(upd, X, W, H, maxiter, verbose, tol, trace: bool = False) -> Re
     """
     nmf_checksize(X, W, H)
     tol = jnp.asarray(tol, W.dtype)
+    from .. import config
+
+    with config.precision_scope(config.solver_precision(upd)):
+        return _nmf_skeleton_inner(upd, X, W, H, maxiter, verbose, tol, trace)
+
+
+def _nmf_skeleton_inner(upd, X, W, H, maxiter, verbose, tol, trace) -> Result:
     if trace:
         W, H, t, converged, objv, objv_hist, dev_hist = _solve_while_traced(
             upd, X, W, H, int(maxiter), tol
@@ -335,7 +384,12 @@ def nmf_skeleton(upd, X, W, H, maxiter, verbose, tol, trace: bool = False) -> Re
         W, H, t, converged, objv = _solve_while(upd, X, W, H, maxiter, tol)
         return Result(W, H, t, converged, objv)
 
-    # Host-driven loop with the reference's trace table (src/common.jl:54-82).
+    # Host-driven loop with the reference's trace table (src/common.jl:54-82),
+    # batched ``verbose_chunk`` iterations per device round-trip (the elapsed
+    # column advances at chunk granularity; all printed values are exact).
+    from .. import config
+
+    chunk = config.effective_verbose_chunk()
     state = _prepare(upd, X, W, H)
     objv = float(_objective(upd, state, X, W, H))
     start = time.time()
@@ -347,16 +401,22 @@ def nmf_skeleton(upd, X, W, H, maxiter, verbose, tol, trace: bool = False) -> Re
     t = 0
     converged = False
     while not converged and t < maxiter:
-        t += 1
-        W, H, state, converged_a, dev = _solve_step(upd, state, X, W, H, tol)
+        W, H, state, done, converged_a, objv_hist, dev_hist = _solve_chunk(
+            upd, state, X, W, H, jnp.asarray(int(maxiter) - t, jnp.int32), tol, chunk
+        )
+        done = int(done)
         converged = bool(converged_a)
         elapsed = time.time() - start
-        preobjv = objv
-        objv = float(_objective(upd, state, X, W, H))
-        print(
-            f"{t:5d}    {elapsed:13.6e}    {objv:13.6e}    "
-            f"{objv - preobjv:13.6e}    {float(dev):13.6e}"
-        )
+        objv_hist = np.asarray(objv_hist)
+        dev_hist = np.asarray(dev_hist)
+        for i in range(done):
+            t += 1
+            preobjv = objv
+            objv = float(objv_hist[i])
+            print(
+                f"{t:5d}    {elapsed:13.6e}    {objv:13.6e}    "
+                f"{objv - preobjv:13.6e}    {float(dev_hist[i]):13.6e}"
+            )
     return Result(W, H, t, converged, objv)
 
 
