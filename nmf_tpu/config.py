@@ -69,12 +69,30 @@ def effective_verbose_chunk() -> int:
     return 16 if _on_tpu() else 1
 
 #: Per-solver matmul precision applied on TPU when ``matmul_precision`` is
-#: None (auto).  Values are jax precision names or None (= leave the backend
-#: default).  Chosen from the TPU sweep in ``benchmarks/precision_sweep.py``
-#: (see docs/precision.md): solvers whose convergence quality collapses under
-#: single-pass bf16 get a higher default; solvers that are insensitive keep
-#: the fast path.
-SOLVER_PRECISION: dict[str, str | None] = {}
+#: None (auto).  Values are jax precision names; a missing key = backend
+#: default (single-pass bf16).  Measured on v5e (2000x1000 exact-rank-32,
+#: benchmarks/precision_sweep.py; full table in docs/precision.md):
+#:
+#: - MultUpdate:mse stays on the fast default — precision only moves its
+#:   floor 2.2x (9.4e-4 -> 4.3e-4, algorithmically slow convergence) at 4.6x
+#:   per-iteration cost.
+#: - MultUpdate:div "high": 2x better floor at 12% cost.
+#: - ProjectedALS "high": 15x better floor (4.0e-4 -> 2.7e-5) at 1.75x cost.
+#: - CoordinateDescent "high": 1.8x better floor at 9% cost (sequential
+#:   k-loop dominates, matmuls are cheap).
+#: - GreedyCD "high": 52x better floor (2.9e-3 -> 5.5e-5) at 1.5x cost —
+#:   this is the ``nnmf`` default algorithm, so bf16 Grams would silently
+#:   cap its quality.
+#: - ALSPGrad "highest": 37x better floor AND ~14% *faster* — exact
+#:   gradients make the data-dependent inner PG/line-search loops converge
+#:   in fewer trials.
+SOLVER_PRECISION: dict[str, str | None] = {
+    "MultUpdate:div": "high",
+    "ProjectedALS": "high",
+    "CoordinateDescent": "high",
+    "GreedyCD": "high",
+    "ALSPGrad": "highest",
+}
 
 
 def set_matmul_precision(value: str | None):

@@ -123,3 +123,51 @@ def test_validation_errors():
         M.nnmf(Xj, 3, W0=jnp.zeros((5, 3)), maxiter=5, alg="multmse")
     with pytest.warns(UserWarning):
         M.nnmf(Xj, 3, update_H=False, maxiter=5, alg="multmse")
+
+
+def test_config_precision_and_verbose_chunk(monkeypatch, capsys):
+    """Precision resolution (auto per-solver on TPU, global override, CPU
+    no-op) and the chunked verbose table (row-for-row identical output to
+    chunk=1)."""
+    from nmf_tpu import config
+
+    # CPU auto mode: no precision forced.
+    assert config.solver_precision(M.GreedyCD()) is None
+    # Global override wins everywhere.
+    config.set_matmul_precision("highest")
+    try:
+        assert config.solver_precision(M.GreedyCD()) == "highest"
+        res = M.nnmf(jnp.asarray(make_problem(np.float32)[0]), 3, maxiter=5, seed=0)
+        assert res.niters <= 5
+    finally:
+        config.set_matmul_precision(None)
+    # Simulated TPU: per-solver table consulted, obj-keyed entries resolve.
+    monkeypatch.setattr(config, "_on_tpu", lambda: True)
+    assert config.solver_precision(M.GreedyCD()) == "high"
+    assert config.solver_precision(M.ALSPGrad()) == "highest"
+    assert config.solver_precision(M.MultUpdate(obj="div")) == "high"
+    assert config.solver_precision(M.MultUpdate(obj="mse")) is None
+    monkeypatch.undo()
+    with pytest.raises(ValueError):
+        config.set_matmul_precision("bf16ish")
+
+    # Chunked verbose output must match single-step output row for row
+    # (values exact; only the elapsed column differs).
+    X, _, _ = make_problem(np.float64)
+    Xj = jnp.asarray(X)
+
+    def table(chunk):
+        config.set_verbose_chunk(chunk)
+        try:
+            M.nnmf(Xj, 3, alg="projals", init="random", seed=2, maxiter=9, verbose=True)
+        finally:
+            config.set_verbose_chunk(None)
+        rows = capsys.readouterr().out.strip().splitlines()
+        # drop the elapsed-time column (index 1)
+        return [
+            tuple(c for i, c in enumerate(r.split()) if i != 1) for r in rows
+        ]
+
+    assert table(4) == table(1)
+    with pytest.raises(ValueError):
+        config.set_verbose_chunk(0)
