@@ -119,18 +119,14 @@ def mtm(D, X):
     return D @ X
 
 
-_SHARDED_KL_MSG = (
-    "per-nonzero ops (SDDMM / value updates) for 2-D sharded sparse X are "
-    "not implemented yet; use the single-chip TiledCSR or BCOO path for "
-    "alg='multdiv' and KL objectives."
-)
-
-
 def sddmm(W, H, X):
-    """Values of ``(W @ H)`` sampled at X's nonzero positions, as a vector
-    aligned with ``nnz_values(X)`` (only valid for sparse X)."""
+    """Values of ``(W @ H)`` sampled at X's nonzero positions, aligned with
+    ``nnz_values(X)`` (only valid for sparse X).  Flat (nnz,) for single-chip
+    formats; the fwd chunk-slot layout for ``ShardedTiled``."""
     if is_sharded_tiled(X):
-        raise NotImplementedError(_SHARDED_KL_MSG)
+        from .sparse_shard import sharded_sddmm
+
+        return sharded_sddmm(X, W, H)
     if is_tiled(X):
         # pure gather-gather-reduce: no scatter involved
         return jnp.sum(W[X.row_idx, :] * H[:, X.col_idx].T, axis=1)
@@ -143,7 +139,9 @@ def sddmm(W, H, X):
 def scale_values(X, new_values):
     """Sparse X with the same pattern but new values."""
     if is_sharded_tiled(X):
-        raise NotImplementedError(_SHARDED_KL_MSG)
+        from .sparse_shard import sharded_scale_values
+
+        return sharded_scale_values(X, new_values)
     if is_tiled(X):
         return X.with_values(new_values)
     Xb = _as_bcoo(X)
@@ -152,7 +150,9 @@ def scale_values(X, new_values):
 
 def nnz_values(X):
     if is_sharded_tiled(X):
-        raise NotImplementedError(_SHARDED_KL_MSG)
+        from .sparse_shard import sharded_nnz_values
+
+        return sharded_nnz_values(X)
     if is_tiled(X):
         return X.values
     return _as_bcoo(X).data
@@ -182,6 +182,10 @@ def mean(X):
 
 def colsums(X):
     """(n,) column sums."""
+    if is_sharded_tiled(X):
+        from .sparse_shard import sharded_colsums
+
+        return sharded_colsums(X)
     if is_tiled(X):
         return jnp.zeros((X.shape[1],), X.dtype).at[X.col_idx].add(X.values)
     if is_sparse(X):
@@ -191,6 +195,10 @@ def colsums(X):
 
 def rowsums(X):
     """(p,) row sums."""
+    if is_sharded_tiled(X):
+        from .sparse_shard import sharded_rowsums
+
+        return sharded_rowsums(X)
     if is_tiled(X):
         return jnp.zeros((X.shape[0],), X.dtype).at[X.row_idx].add(X.values)
     if is_sparse(X):
@@ -217,7 +225,12 @@ def transpose(X):
 
 
 def col_indices(X):
-    """(nnz,) column index of each stored value (sparse only)."""
+    """Column index of each stored value, aligned with ``nnz_values(X)``
+    (sparse only)."""
+    if is_sharded_tiled(X):
+        from .sparse_shard import sharded_col_ids
+
+        return sharded_col_ids(X)
     if is_tiled(X):
         return X.col_idx
     return _as_bcoo(X).indices[:, 1]

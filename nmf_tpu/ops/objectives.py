@@ -116,11 +116,6 @@ def kl_objective(X, W, H, delta=None):
     """
     from . import matops
 
-    if matops.is_sharded_tiled(X):
-        raise NotImplementedError(
-            "KL objective for 2-D sharded sparse X is not implemented yet; "
-            "use the single-chip TiledCSR or BCOO path for alg='multdiv'."
-        )
     if matops.is_sparse(X):
         xv = matops.nnz_values(X)
         wh_at_nnz = matops.sddmm(W, H, X)

@@ -35,7 +35,18 @@ from ..models.common import data_field, static_field
 from ..parallel.mesh import COLS, ROWS
 from .sparse_format import TILE, _build_side, TiledSide
 
-__all__ = ["ShardedTiled", "shard_tiled", "sharded_mm", "sharded_mtm"]
+__all__ = [
+    "ShardedTiled",
+    "shard_tiled",
+    "sharded_mm",
+    "sharded_mtm",
+    "sharded_sddmm",
+    "sharded_scale_values",
+    "sharded_nnz_values",
+    "sharded_col_ids",
+    "sharded_colsums",
+    "sharded_rowsums",
+]
 
 
 @jax.tree_util.register_dataclass
@@ -72,6 +83,10 @@ class ShardedTiled:
     fwd: _ShardedSide = data_field()
     bwd: _ShardedSide = data_field()
     stats: jax.Array = data_field(default=None)
+    # (C, R, bwd_slots) int32: for each bwd chunk slot, the fwd chunk slot
+    # holding the same nonzero (out-of-range = padding).  Lets per-nnz value
+    # updates propagate fwd -> bwd with one local gather per device.
+    b2f: jax.Array | None = data_field(default=None)
     shape: tuple[int, int] = static_field(default=(0, 0))
     mesh_shape: tuple[int, int] = static_field(default=(1, 1))
     transposed: bool = static_field(default=False)
@@ -94,7 +109,12 @@ class ShardedTiled:
 
 
 def _build_sharded_side(rows, cols, vals, p, n, R, C, stripe_tiles):
-    """Per-(i,j) local TiledSides, padded to uniform tile counts, stacked."""
+    """Per-(i,j) local TiledSides, padded to uniform tile counts, stacked.
+
+    Returns ``(side, perms)`` where ``perms[d]`` maps the d-th device block's
+    nonzeros (in masked-original order) to flat slots of that block's padded
+    chunk arrays — the hook for cross-orientation value propagation
+    (``sharded_scale_values``)."""
     # pad global dims so each device block is a whole number of tiles
     local_p = -(-(-(-p // R)) // TILE) * TILE  # ceil(p/R) rounded up to TILE
     local_n = -(-(-(-n // C)) // TILE) * TILE
@@ -117,9 +137,11 @@ def _build_sharded_side(rows, cols, vals, p, n, R, C, stripe_tiles):
     # uniform padding across devices: same max_chunks -> same ntiles
     max_mc = max(s.max_chunks for s in sides)
     sidesu = []
+    perms = []
     for s in sides:
         if s.max_chunks == max_mc:
             sidesu.append(s)
+            perms.append(np.asarray(s.perm))
             continue
         # rebuild chunk arrays with max_mc chunk slots per tile
         lr = np.zeros(
@@ -136,6 +158,12 @@ def _build_sharded_side(rows, cols, vals, p, n, R, C, stripe_tiles):
         lr.reshape(n_groups, max_mc, TILE)[:, : s.max_chunks] = o
         lc.reshape(n_groups, max_mc, TILE)[:, : s.max_chunks] = oc
         vv.reshape(n_groups, max_mc, TILE)[:, : s.max_chunks] = ov
+        # remap slot perm: old slot ((g*old_mc + c)*TILE + s) ->
+        # ((g*max_mc + c)*TILE + s)
+        op = np.asarray(s.perm)
+        tile_old, slot = op // TILE, op % TILE
+        g, c = tile_old // s.max_chunks, tile_old % s.max_chunks
+        perms.append((g * max_mc + c) * TILE + slot)
         sidesu.append(
             TiledSide(
                 jnp.asarray(lr),
@@ -155,7 +183,7 @@ def _build_sharded_side(rows, cols, vals, p, n, R, C, stripe_tiles):
     lrows = jnp.stack([s.lrows for s in sidesu])
     lcols = jnp.stack([s.lcols for s in sidesu])
     valsb = jnp.stack([s.vals for s in sidesu])
-    return _ShardedSide(
+    side = _ShardedSide(
         lrows,
         lcols,
         valsb,
@@ -167,6 +195,7 @@ def _build_sharded_side(rows, cols, vals, p, n, R, C, stripe_tiles):
         local_p,
         local_n,
     )
+    return side, perms
 
 
 def shard_tiled(rows, cols, vals, shape, mesh: Mesh, *, stripe_tiles: int = 32) -> ShardedTiled:
@@ -177,14 +206,25 @@ def shard_tiled(rows, cols, vals, shape, mesh: Mesh, *, stripe_tiles: int = 32) 
     rows = np.asarray(rows, np.int32)
     cols = np.asarray(cols, np.int32)
     vals = np.asarray(vals, np.float32)
-    fwd = _build_sharded_side(rows, cols, vals, p, n, R, C, stripe_tiles)
-    bwd = _build_sharded_side(cols, rows, vals, n, p, C, R, stripe_tiles)
+    fwd, perms_f = _build_sharded_side(rows, cols, vals, p, n, R, C, stripe_tiles)
+    bwd, perms_b = _build_sharded_side(cols, rows, vals, n, p, C, R, stripe_tiles)
+    # per-device bwd-slot -> fwd-slot map (same nnz subset, same masked order
+    # on both sides; see _build_sharded_side docstring)
+    fwd_slots = fwd.lrows.shape[1] * TILE
+    bwd_slots = bwd.lrows.shape[1] * TILE
+    b2f = np.full((C * R, bwd_slots), fwd_slots, np.int32)
+    for i in range(R):
+        for j in range(C):
+            pf = perms_f[i * C + j]
+            pb = perms_b[j * R + i]
+            b2f[j * R + i][pb] = pf
+    b2f = jnp.asarray(b2f.reshape(C, R, bwd_slots))
     stats = jnp.asarray(
         [vals.sum(dtype=np.float64), (vals.astype(np.float64) ** 2).sum(),
          vals.min() if len(vals) else 0.0],
         jnp.float32,
     )
-    st = ShardedTiled(fwd, bwd, stats, (p, n), (R, C), False, mesh)
+    st = ShardedTiled(fwd, bwd, stats, b2f, (p, n), (R, C), False, mesh)
     return _place(st, mesh)
 
 
@@ -194,7 +234,6 @@ def _place(st: ShardedTiled, mesh: Mesh) -> ShardedTiled:
 
     def put(side, transposed):
         # leading axis order is (i, j) for fwd and (j, i) for bwd
-        ax0 = ("dev",)
         arrs = {}
         for name in ("lrows", "lcols", "vals"):
             a = getattr(side, name)
@@ -207,7 +246,12 @@ def _place(st: ShardedTiled, mesh: Mesh) -> ShardedTiled:
             arrs[name] = jax.device_put(a, NamedSharding(mesh, spec))
         return dataclasses.replace(side, **arrs)
 
-    return dataclasses.replace(st, fwd=put(st.fwd, False), bwd=put(st.bwd, True))
+    b2f = st.b2f
+    if b2f is not None:
+        b2f = jax.device_put(b2f, NamedSharding(mesh, P(COLS, ROWS, None)))
+    return dataclasses.replace(
+        st, fwd=put(st.fwd, False), bwd=put(st.bwd, True), b2f=b2f
+    )
 
 
 def _local_matmul(side_meta, lrows, lcols, vals, Dt_local, precision):
@@ -297,7 +341,6 @@ def _sharded_matmul(X: ShardedTiled, D, mesh, precision="exact", transposed=Fals
     out = jnp.transpose(out, (0, 2, 1)).reshape(-1, K)
     # physical output length of this orientation (independent of any logical
     # transpose flag on X)
-    rows_total = side.local_rows * (C if transposed else R)
     phys_rows = X.shape[1] if (transposed != X.transposed) else X.shape[0]
     return out[:phys_rows, :k]
 
@@ -313,3 +356,167 @@ def sharded_mtm(X: ShardedTiled, D, mesh=None, *, precision: str = "exact"):
     """``X' @ D`` -> (n, k), output sharded P("cols", None)."""
     mesh = mesh or X.mesh
     return _sharded_matmul(X, D, mesh, precision, not X.transposed)
+
+
+# ---------------------------------------------------------------------------
+# Per-nonzero ops (SDDMM / value updates / index vectors)
+#
+# The "nnz vector" of a ShardedTiled is its fwd chunk-slot layout: an
+# (R, C, ntiles, TILE) array sharded P("rows", "cols", None, None), padding
+# slots holding 0.  sddmm / nnz_values / col_ids / scale_values all speak this
+# layout, so solver code (multdiv's Q update, the KL objective, SPA's column
+# normalization) composes them exactly like the flat (nnz,) single-chip
+# vectors — elementwise math on the layout is elementwise math on the nnz.
+# Every op below is local per device under shard_map: the factors arrive in
+# their canonical shardings (W row-sharded, H col-sharded), so no collective
+# is needed at all.  Reference behavior unlocked by these:
+# /root/reference/src/multupd.jl:121-193 (divergence updater) and
+# /root/reference/src/spa.jl:41-68 (SPA) on sharded sparse X.
+# ---------------------------------------------------------------------------
+
+
+def _panel_offsets(side: _ShardedSide, nt: int):
+    """Static per-tile (row, col) padded-local offsets for the grid layout:
+    slot (t, s) sits at local row ``row_off[t] + lrows[t, s]`` and local col
+    ``col_off[t] + lcols[t, s]``."""
+    t = np.arange(nt)
+    stripe = t // (side.n_colpanels * side.tiles_per_step)
+    rem = t % (side.n_colpanels * side.tiles_per_step)
+    cp = rem // side.tiles_per_step
+    rp = (rem % side.tiles_per_step) // side.max_chunks
+    row_off = ((stripe * side.panels_per_stripe + rp) * TILE).astype(np.int32)
+    col_off = (cp * TILE).astype(np.int32)
+    return jnp.asarray(row_off[:, None]), jnp.asarray(col_off[:, None])
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def _sharded_sddmm_impl(X: ShardedTiled, W, H, mesh):
+    from jax.experimental.shard_map import shard_map
+
+    side = X.fwd
+    R, C = X.mesh_shape
+    nt = side.lrows.shape[2]
+    local_p, local_n = side.local_rows, side.local_cols
+    Wp = jnp.pad(W, ((0, local_p * R - W.shape[0]), (0, 0)))
+    Htp = jnp.pad(H.T, ((0, local_n * C - H.shape[1]), (0, 0)))
+    row_off, col_off = _panel_offsets(side, nt)
+
+    def local_fn(lrows, lcols, Wl, Htl):
+        grow = (row_off + lrows[0, 0]).reshape(-1)
+        gcol = (col_off + lcols[0, 0]).reshape(-1)
+        # clip: phantom row panels in the last stripe gather garbage rows,
+        # but those are all-padding slots (value 0) masked by every consumer
+        wr = jnp.take(Wl, grow, axis=0, mode="clip")
+        hc = jnp.take(Htl, gcol, axis=0, mode="clip")
+        wh = jnp.sum(wr * hc, axis=1)
+        return wh.reshape(1, 1, nt, TILE)
+
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(ROWS, COLS, None, None),
+            P(ROWS, COLS, None, None),
+            P(ROWS, None),
+            P(COLS, None),
+        ),
+        out_specs=P(ROWS, COLS, None, None),
+        check_rep=False,
+    )(side.lrows, side.lcols, Wp, Htp)
+
+
+def sharded_sddmm(X: ShardedTiled, W, H, mesh=None):
+    """``(W @ H)`` sampled at X's nonzeros, in the fwd chunk-slot layout
+    (aligned with ``sharded_nnz_values``).  Purely local per device."""
+    mesh = mesh or X.mesh
+    if X.transposed:
+        # pattern of X' at (c, r) samples (W@H)[c, r] = (H' W')[r, c]
+        W, H = H.T, W.T
+    return _sharded_sddmm_impl(X, W, H, mesh)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def _propagate_bwd(X: ShardedTiled, new_fwd_vals, mesh):
+    from jax.experimental.shard_map import shard_map
+
+    ntb = X.bwd.lrows.shape[2]
+
+    def local_fn(fv, b2f):
+        flat = fv.reshape(-1)
+        out = jnp.take(flat, b2f[0, 0], axis=0, mode="fill", fill_value=0)
+        return out.reshape(1, 1, ntb, TILE)
+
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(ROWS, COLS, None, None), P(COLS, ROWS, None)),
+        out_specs=P(COLS, ROWS, None, None),
+        check_rep=False,
+    )(new_fwd_vals, X.b2f)
+
+
+def sharded_scale_values(X: ShardedTiled, new_values, mesh=None) -> ShardedTiled:
+    """Same pattern, new values (fwd chunk-slot layout).  The bwd orientation
+    is refreshed by one local gather per device through ``b2f``.  ``stats``
+    are kept as built (they describe the *original* values; derived matrices
+    like the divergence quotient never consult them)."""
+    mesh = mesh or X.mesh
+    if X.b2f is None:
+        raise ValueError("ShardedTiled built without b2f; rebuild with shard_tiled().")
+    new_values = new_values.astype(X.fwd.vals.dtype)
+    bwd_vals = _propagate_bwd(X, new_values, mesh)
+    return dataclasses.replace(
+        X,
+        fwd=dataclasses.replace(X.fwd, vals=new_values),
+        bwd=dataclasses.replace(X.bwd, vals=bwd_vals),
+    )
+
+
+def sharded_nnz_values(X: ShardedTiled):
+    """(R, C, ntiles, TILE) values in the fwd chunk-slot layout; padding
+    slots are exactly 0."""
+    return X.fwd.vals
+
+
+@partial(jax.jit, static_argnames=("mesh", "which"))
+def _sharded_ids_impl(X: ShardedTiled, mesh, which: str):
+    from jax.experimental.shard_map import shard_map
+
+    side = X.fwd
+    nt = side.lrows.shape[2]
+    row_off, col_off = _panel_offsets(side, nt)
+
+    def local_fn(lrows, lcols):
+        if which == "col":
+            j = jax.lax.axis_index(COLS)
+            g = col_off + lcols[0, 0] + j * side.local_cols
+        else:
+            i = jax.lax.axis_index(ROWS)
+            g = row_off + lrows[0, 0] + i * side.local_rows
+        return g.astype(jnp.int32)[None, None]
+
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(ROWS, COLS, None, None), P(ROWS, COLS, None, None)),
+        out_specs=P(ROWS, COLS, None, None),
+        check_rep=False,
+    )(side.lrows, side.lcols)
+
+
+def sharded_col_ids(X: ShardedTiled, mesh=None):
+    """Global column index per fwd chunk slot (row index when X is logically
+    transposed).  Padding slots carry an arbitrary in-range index — every
+    consumer weights by the (zero) padding values."""
+    mesh = mesh or X.mesh
+    return _sharded_ids_impl(X, mesh, "row" if X.transposed else "col")
+
+
+def sharded_colsums(X: ShardedTiled):
+    ones = jnp.ones((X.shape[0], 1), X.dtype)
+    return sharded_mtm(X, ones)[:, 0]
+
+
+def sharded_rowsums(X: ShardedTiled):
+    ones = jnp.ones((X.shape[1], 1), X.dtype)
+    return sharded_mm(X, ones)[:, 0]

@@ -59,7 +59,9 @@ def test_output_shardings_are_canonical():
 
 
 @requires_multidevice
-@pytest.mark.parametrize("alg", ["multmse", "cd", "greedycd", "projals", "alspgrad"])
+@pytest.mark.parametrize(
+    "alg", ["multmse", "multdiv", "cd", "greedycd", "projals", "alspgrad"]
+)
 def test_sharded_sparse_solvers_match_dense(alg):
     Xd, r, c, rng = make(p=256, n=192, density=0.08)
     mesh = make_mesh((2, 4))
@@ -70,6 +72,7 @@ def test_sharded_sparse_solvers_match_dense(alg):
 
     algs = {
         "multmse": nmf_tpu.MultUpdate(obj="mse", maxiter=5),
+        "multdiv": nmf_tpu.MultUpdate(obj="div", maxiter=5),
         "cd": nmf_tpu.CoordinateDescent(maxiter=5),
         "greedycd": nmf_tpu.GreedyCD(maxiter=4),
         "projals": nmf_tpu.ProjectedALS(maxiter=5),
@@ -85,14 +88,51 @@ def test_sharded_sparse_solvers_match_dense(alg):
 
 
 @requires_multidevice
-def test_sharded_sparse_kl_raises():
+def test_sharded_sparse_kl_matches_dense():
+    """kl_objective and the per-nnz ops it rides (sddmm, nnz_values) on
+    ShardedTiled match the dense gkldiv (reference src/multupd.jl:148)."""
+    from nmf_tpu.ops.objectives import gkldiv, kl_objective
+
     Xd, r, c, rng = make(p=256, n=192)
     mesh = make_mesh((2, 4))
     X = shard_tiled(r, c, Xd[r, c], Xd.shape, mesh, stripe_tiles=1)
-    with pytest.raises(NotImplementedError):
-        nmf_tpu.solve(
-            nmf_tpu.MultUpdate(obj="div", maxiter=3),
-            X,
-            jnp.asarray(np.abs(rng.random((256, 4))).astype(np.float32)),
-            jnp.asarray(np.abs(rng.random((4, 192))).astype(np.float32)),
-        )
+    W = jnp.asarray(np.abs(rng.random((256, 4))).astype(np.float32))
+    H = jnp.asarray(np.abs(rng.random((4, 192))).astype(np.float32))
+    sharded = float(kl_objective(X, W, H))
+    dense = float(gkldiv(jnp.asarray(Xd).astype(W.dtype), W @ H))
+    assert np.isclose(sharded, dense, rtol=1e-4)
+
+
+@requires_multidevice
+def test_sharded_scale_values_updates_both_orientations():
+    """scale_values on ShardedTiled must refresh the bwd tiling too —
+    mm() and mtm() on the scaled matrix both match dense."""
+    Xd, r, c, rng = make(p=256, n=192)
+    mesh = make_mesh((2, 4))
+    X = shard_tiled(r, c, Xd[r, c], Xd.shape, mesh, stripe_tiles=1)
+    v = matops.nnz_values(X)
+    Y = matops.scale_values(X, 2.0 * v + v * v)
+    Yd = 2.0 * Xd + Xd * Xd
+    D = jnp.asarray(rng.random((192, 6)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(matops.mm(Y, D)), Yd @ np.asarray(D), rtol=3e-5, atol=1e-4
+    )
+    D2 = jnp.asarray(rng.random((256, 6)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(matops.mtm(D2.T, Y).T), Yd.T @ np.asarray(D2), rtol=3e-5, atol=1e-4
+    )
+
+
+@requires_multidevice
+def test_sharded_spa_matches_dense():
+    """SPA (anchors + FNNLS H) on ShardedTiled matches the dense path
+    (reference src/spa.jl:41-68 is matrix-generic)."""
+    from nmf_tpu.models.spa import spa
+
+    Xd, r, c, rng = make(p=300, n=260, density=0.07)
+    mesh = make_mesh((2, 4))
+    X = shard_tiled(r, c, Xd[r, c], Xd.shape, mesh, stripe_tiles=1)
+    Ws, Hs = spa(X, 4)
+    Wd, Hd = spa(jnp.asarray(Xd), 4)
+    np.testing.assert_allclose(np.asarray(Ws), np.asarray(Wd), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Hs), np.asarray(Hd), rtol=2e-3, atol=2e-3)
