@@ -75,10 +75,19 @@ def _projgradnorm(G, Y):
 
 def _line_search(AtA, Y, G, alpha, traceiter, beta, sigma):
     """The adaptive backtracking line search (src/alspgrad.jl:138-178).
-    Returns (Y, alpha, backtracks)."""
+    Returns (Y, alpha, backtracks).
+
+    NOTE: the trial-step math here (Yn/D/dv1/dv2/suff_decr/accept logic) is
+    duplicated in the trial phase of ``_pg_subsolve``'s flat while_loop body —
+    any semantic change must be applied to BOTH (test_alspgrad.py pins their
+    equality)."""
     dt = Y.dtype
     zero = jnp.zeros((), dt)
     epsT = jnp.asarray(_eps(dt), dt)
+    # Growing alpha unchecked can overflow to inf (the reference errors via
+    # isfinite(alpha), src/alspgrad.jl:143); clamp so max(Y - alpha*G, 0)
+    # never produces NaN where G == 0.
+    alpha_cap = jnp.asarray(jnp.finfo(dt).max / 2, dt)
 
     def cond(s: _LSCarry):
         return jnp.logical_and(~s.done, s.it < traceiter)
@@ -102,7 +111,9 @@ def _line_search(AtA, Y, G, alpha, traceiter, beta, sigma):
         done = take_n | take_p
         Y_out = jnp.where(take_n, Yn, jnp.where(take_p, Yp_eff, s.Y))
         alpha_next = jnp.where(
-            done, s.alpha, jnp.where(decr, s.alpha * beta, s.alpha / beta)
+            done,
+            s.alpha,
+            jnp.where(decr, s.alpha * beta, jnp.minimum(s.alpha / beta, alpha_cap)),
         )
         # Growing and not done: remember this candidate (Yp <- Yn).
         Yp_next = jnp.where(done | decr, Yp_eff, Yn)
@@ -170,6 +181,7 @@ def _pg_subsolve(AtA, AtB, Y0, maxiter, traceiter, tolg, beta, sigma):
     beta = jnp.asarray(beta, dt)
     sigma = jnp.asarray(sigma, dt)
     tolg = jnp.asarray(tolg, dt)
+    alpha_cap = jnp.asarray(jnp.finfo(dt).max / 2, dt)  # see _line_search
 
     def cond(c: _FlatCarry):
         return jnp.logical_and(~c.converged, (c.ls_it > 0) | (c.t < maxiter))
@@ -188,7 +200,10 @@ def _pg_subsolve(AtA, AtB, Y0, maxiter, traceiter, tolg, beta, sigma):
         pgnrm = _projgradnorm(G_new, c.Y)
         conv = pgnrm < tolg
 
-        # --- trial phase: one backtracking step (src/alspgrad.jl:138-178) ---
+        # --- trial phase: one backtracking step (src/alspgrad.jl:138-178).
+        # This duplicates the trial-step math of ``_line_search`` (used by the
+        # verbose host path); keep the two in sync — test_alspgrad.py pins
+        # their equality. ---
         it = c.ls_it
         first = it == 1
         dv1 = jnp.vdot(c.G, D)
@@ -206,7 +221,9 @@ def _pg_subsolve(AtA, AtB, Y0, maxiter, traceiter, tolg, beta, sigma):
         Y_trial = jnp.where(take_n, Yn, jnp.where(take_p, Yp_eff, c.Y))
         # Alpha keeps its last adaptation even when trials run out (:161-176).
         alpha_trial = jnp.where(
-            done, c.alpha, jnp.where(decr, c.alpha * beta, c.alpha / beta)
+            done,
+            c.alpha,
+            jnp.where(decr, c.alpha * beta, jnp.minimum(c.alpha / beta, alpha_cap)),
         )
         # Growing and not done: remember this candidate (Yp <- Yn).
         Yp_trial = jnp.where(done | decr, Yp_eff, Yn)
@@ -309,8 +326,15 @@ def alspgrad_updateh(
 ):
     """Per-factor public solver (reference ``alspgrad_updateh!``,
     src/alspgrad.jl:69-84).  Returns ``(H, niters)``.  ``tolg`` defaults to
-    ``cbrt(eps(T))``.  ``verbose`` prints the reference's per-iteration
-    table via a host-driven loop (identical math)."""
+    ``cbrt(eps(T))``.
+
+    ``verbose`` prints the reference's per-iteration table via a host-driven
+    loop.  The verbose path runs a *different compiled program* (nested
+    ``_pg_step``) than the non-verbose flat while_loop: the math is
+    identical, but floating-point summation order may differ by ~1 ulp, so a
+    verbose run can return bit-different factors and — in borderline cases —
+    a different trial/iteration count than the same call without verbose
+    (test_alspgrad.py pins the agreement bound)."""
     if tolg is None:
         tolg = cbrt_eps(H.dtype)
     if verbose:
@@ -339,7 +363,9 @@ def alspgrad_updatew(
     verbose: bool = False,
 ):
     """Per-factor public solver (reference ``alspgrad_updatew!``,
-    src/alspgrad.jl:225-240).  Returns ``(W, niters)``."""
+    src/alspgrad.jl:225-240).  Returns ``(W, niters)``.  The same
+    verbose/non-verbose ~1-ulp divergence note as ``alspgrad_updateh``
+    applies."""
     if tolg is None:
         tolg = cbrt_eps(W.dtype)
     if verbose:

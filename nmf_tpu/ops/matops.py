@@ -23,6 +23,7 @@ A custom Pallas CSR gather-matmul backend can be slotted behind ``mm``/
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 try:
@@ -128,6 +129,12 @@ def sddmm(W, H, X):
 
         return sharded_sddmm(X, W, H)
     if is_tiled(X):
+        from .sparse_format import TiledSideC
+
+        if jax.default_backend() != "cpu" and isinstance(X.fwd, TiledSideC):
+            from .pallas.sparse import tiled_sddmm
+
+            return tiled_sddmm(X, W, H)
         # pure gather-gather-reduce: no scatter involved
         return jnp.sum(W[X.row_idx, :] * H[:, X.col_idx].T, axis=1)
     Xb = _as_bcoo(X)

@@ -47,7 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..sparse_format import TILE, TiledCSR, TiledSide, TiledSideC
 
-__all__ = ["tiled_matmul_t", "tiled_mm", "tiled_mtm"]
+__all__ = ["tiled_matmul_t", "tiled_mm", "tiled_mtm", "tiled_sddmm"]
 
 
 def _resolve_precision(precision: str) -> str:
@@ -67,11 +67,16 @@ def _chunk_update(acc_ref, dblk, lrow, lcol, val, rr, K, precision, rp):
     onehot = (lrow[:, None] == rr).astype(jnp.bfloat16)
 
     def bf16_dot(a_bf16):
+        # precision pinned to DEFAULT: rounding is managed manually by the
+        # bf16 splits below, and an ambient default_matmul_precision("high")
+        # context (config.py sets one per solver) must not leak in — Mosaic
+        # has no HIGH lowering.
         return jax.lax.dot_general(
             a_bf16,
             onehot,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
 
     if precision == "exact":
@@ -318,6 +323,101 @@ def tiled_matmul_t(side, D, *, interpret: bool = False, precision: str = "highes
             precision,
         )
     return out[:k, :p].T
+
+
+def _make_sddmm_kernel_compact(G, K):
+    """SDDMM over the compact chunk layout: per 128-nnz chunk, lane-gather
+    the W rows out of the stripe block and the H columns out of the col
+    panel, multiply, reduce over sublanes — no scatter, no accumulator,
+    exact f32 on the VPU (the MXU is never involved)."""
+
+    def kernel(win_panel, win_stripe, rp_ref, lrows_ref, lcols_ref, wt_ref,
+               ht_ref, out_ref):
+        i = pl.program_id(0)
+        hblk = ht_ref[:]  # (K, TILE) column panel of H
+        for t in range(G):
+            rp = rp_ref[i * G + t]
+            off = pl.multiple_of(rp * TILE, TILE)
+            wblk = wt_ref[:, pl.ds(off, TILE)]  # (K, TILE) row panel of W'
+            idxr = jnp.broadcast_to(lrows_ref[t, :][None, :], (K, TILE))
+            idxc = jnp.broadcast_to(lcols_ref[t, :][None, :], (K, TILE))
+            wg = jnp.take_along_axis(wblk, idxr, axis=1)
+            hg = jnp.take_along_axis(hblk, idxc, axis=1)
+            out_ref[t, :] = jnp.sum(wg * hg, axis=0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("meta", "interpret"))
+def _tiled_sddmm_compact_impl(
+    chunk_rp, win_panel, win_stripe, lrows, lcols, Wt, Ht, meta, interpret=False
+):
+    (n_windows, G, stripe_width) = meta
+    K = Wt.shape[0]
+    kernel = _make_sddmm_kernel_compact(G, K)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_windows,),
+        in_specs=[
+            pl.BlockSpec(
+                (G, TILE), lambda i, wp, ws, rp: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (G, TILE), lambda i, wp, ws, rp: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (K, stripe_width),
+                lambda i, wp, ws, rp: (0, ws[i]),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (K, TILE), lambda i, wp, ws, rp: (0, wp[i]), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (G, TILE), lambda i, wp, ws, rp: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_windows * G, TILE), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * lrows.size * K,
+            bytes_accessed=2 * lrows.size * 4 + Wt.size * 4 + Ht.size * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(win_panel, win_stripe, chunk_rp.reshape(-1), lrows, lcols, Wt, Ht)
+
+
+def tiled_sddmm(X: TiledCSR, W, H, *, interpret: bool = False):
+    """Values of ``(W @ H)`` sampled at X's nonzeros, (nnz,) in CSR order
+    (the per-nnz seam behind the divergence updater's quotient,
+    reference src/multupd.jl:170-192).  Compact-layout fwd side only —
+    callers fall back to the jnp gather form otherwise."""
+    if jax.default_backend() == "cpu":
+        interpret = pltpu.InterpretParams()
+    side = X.fwd
+    if not isinstance(side, TiledSideC):
+        raise TypeError("tiled_sddmm requires the compact layout")
+    if X.row_perm is not None:
+        W = jnp.take(W, X.row_perm, axis=0)
+    if X.col_perm is not None:
+        H = jnp.take(H, X.col_perm, axis=1)
+    k = W.shape[1]
+    K = -(-k // 8) * 8
+    stripe_width = side.panels_per_stripe * TILE
+    p_pad = side.n_stripes * stripe_width
+    n_pad = side.n_colpanels * TILE
+    Wt = jnp.pad(jnp.asarray(W, jnp.float32).T, ((0, K - k), (0, p_pad - W.shape[0])))
+    Ht = jnp.pad(jnp.asarray(H, jnp.float32), ((0, K - k), (0, n_pad - H.shape[1])))
+    meta = (side.n_windows, side.group, stripe_width)
+    out = _tiled_sddmm_compact_impl(
+        side.chunk_rp, side.win_panel, side.win_stripe, side.lrows, side.lcols,
+        Wt, Ht, meta, interpret,
+    )
+    return jnp.take(out.reshape(-1), side.perm).astype(W.dtype)
 
 
 def tiled_mm(X: TiledCSR, D, *, interpret: bool = False, precision: str = "highest"):

@@ -60,6 +60,9 @@ class TiledSide:
     max_chunks: int = static_field(default=1)
     rows: int = static_field(default=0)
     cols: int = static_field(default=0)
+    # (ntiles*TILE,) int64: CSR-order nnz index per slot (= inverse of perm;
+    # padding slots point one past the end).  Makes value refreshes a gather.
+    inv: jax.Array | None = data_field(default=None)
 
 
 @jax.tree_util.register_dataclass
@@ -91,6 +94,9 @@ class TiledSideC:
     panels_per_stripe: int = static_field(default=1)
     rows: int = static_field(default=0)
     cols: int = static_field(default=0)
+    # (nchunks*TILE,) int64: CSR-order nnz index per slot (inverse of perm;
+    # padding slots point one past the end).  Makes value refreshes a gather.
+    inv: jax.Array | None = data_field(default=None)
 
 
 @jax.tree_util.register_dataclass
@@ -125,20 +131,23 @@ class TiledCSR:
         return 2
 
     def with_values(self, new_values):
-        """Same pattern, new values (CSR order) — updates both orientations
-        via the precomputed slot permutations."""
-        fwd_vals = (
-            jnp.zeros(self.fwd.vals.size, new_values.dtype)
-            .at[self.fwd.perm]
-            .set(new_values)
-            .reshape(self.fwd.vals.shape)
-        )
-        bwd_vals = (
-            jnp.zeros(self.bwd.vals.size, new_values.dtype)
-            .at[self.bwd.perm]
-            .set(new_values)
-            .reshape(self.bwd.vals.shape)
-        )
+        """Same pattern, new values (CSR order) — updates both orientations.
+        With the ``inv`` slot->nnz maps this is two gathers (padding slots
+        fill with 0); the scatter path remains for legacy instances."""
+
+        def refresh(side):
+            if side.inv is not None:
+                flat = jnp.take(new_values, side.inv, mode="fill", fill_value=0)
+            else:
+                flat = (
+                    jnp.zeros(side.vals.size, new_values.dtype)
+                    .at[side.perm]
+                    .set(new_values)
+                )
+            return flat.reshape(side.vals.shape)
+
+        fwd_vals = refresh(self.fwd)
+        bwd_vals = refresh(self.bwd)
         return dataclasses.replace(
             self,
             fwd=dataclasses.replace(self.fwd, vals=fwd_vals),
@@ -205,6 +214,8 @@ def _build_side(rows, cols, vals, p, n, stripe_tiles):
     flat_slot = tile_index * TILE + slot_of
     perm = np.empty(len(key), np.int64)
     perm[order] = flat_slot  # input-order nnz -> slot
+    inv = np.full(ntiles * TILE, len(key), np.int64)
+    inv[perm] = np.arange(len(key))
 
     return TiledSide(
         jnp.asarray(lrows),
@@ -218,6 +229,7 @@ def _build_side(rows, cols, vals, p, n, stripe_tiles):
         max_chunks,
         p,
         n,
+        jnp.asarray(inv),
     )
 
 
@@ -308,6 +320,8 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group):
         perm[order] = flat_slot
     else:
         perm = np.zeros(0, np.int64)
+    inv = np.full(total_chunks * TILE, len(tkey), np.int64)
+    inv[perm] = np.arange(len(tkey))
 
     win_per_group = (padded_per_group // group).astype(np.int64)
     win_stripe = np.repeat((g_uniq // n_colpanels).astype(np.int32), win_per_group)
@@ -330,6 +344,7 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group):
         stripe_tiles,
         p,
         n,
+        jnp.asarray(inv),
     )
 
 

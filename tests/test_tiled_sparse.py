@@ -109,3 +109,42 @@ def test_solver_with_tiled_matches_bcoo():
     assert b.niters == a.niters
     np.testing.assert_allclose(np.asarray(b.W), np.asarray(a.W), rtol=1e-4, atol=1e-6)
     assert np.isclose(b.objvalue, a.objvalue, rtol=1e-4)
+
+
+def test_pallas_sddmm_kernel_matches_dense():
+    """The compact-layout Pallas SDDMM (interpret on CPU) == dense sampling,
+    for both natural and degree ordering (reference src/multupd.jl:170-192
+    samples WH at X's pattern)."""
+    from nmf_tpu.ops.pallas.sparse import tiled_sddmm
+    from nmf_tpu.ops.sparse_format import build_tiled
+
+    rng = np.random.default_rng(3)
+    p, n, k = 400, 300, 9
+    Xd = (rng.random((p, n)) * (rng.random((p, n)) < 0.04)).astype(np.float32)
+    r, c = np.nonzero(Xd)
+    W = jnp.asarray(rng.random((p, k)).astype(np.float32))
+    H = jnp.asarray(rng.random((k, n)).astype(np.float32))
+    WH = np.asarray(W) @ np.asarray(H)
+    for order in ("natural", "degree"):
+        X = build_tiled(r, c, Xd[r, c], Xd.shape, stripe_tiles=2, order=order)
+        got = np.asarray(tiled_sddmm(X, W, H))
+        ref = WH[np.asarray(X.row_idx), np.asarray(X.col_idx)]
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
+
+
+def test_with_values_gather_matches_scatter():
+    """The inv-map gather refresh == the legacy scatter refresh."""
+    import dataclasses
+
+    Xd, X, rng = make()
+    v = matops.nnz_values(X)
+    new = v * 2.5 + 0.1
+    legacy = dataclasses.replace(
+        X,
+        fwd=dataclasses.replace(X.fwd, inv=None),
+        bwd=dataclasses.replace(X.bwd, inv=None),
+    )
+    a = X.with_values(new)
+    b = legacy.with_values(new)
+    np.testing.assert_array_equal(np.asarray(a.fwd.vals), np.asarray(b.fwd.vals))
+    np.testing.assert_array_equal(np.asarray(a.bwd.vals), np.asarray(b.bwd.vals))
