@@ -61,6 +61,192 @@ def _solver_rate(upd, X, W, H, n_small, n_big, dtype=np.float32):
     return _timed(run, n_small, n_big)
 
 
+def _time_to_tol(upd, X, W, H, target, chunk=25, max_iters=5000, trajectory=False):
+    """Wall time until relative reconstruction error
+    ``||X - WH||_F / ||X||_F <= target`` (BASELINE.md's stated metric).
+
+    Chunked resumable solve: ``chunk`` iterations per device dispatch, one
+    relerr readback per chunk (the readback round-trip is part of the honest
+    cost of checking).  relchange stopping is disabled (tol=1e-30) so the
+    solver runs until the quality gate, exactly like a user iterating to a
+    target quality.  Compile time is excluded via a warm-up chunk.
+    Returns (seconds, iterations, final_relerr)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nmf_tpu import config as _config
+    from nmf_tpu.models.common import _prepare, _solve_while_from
+    from nmf_tpu.ops import matops
+    from nmf_tpu.ops.objectives import mse_objective
+
+    xsq = float(matops.sq_norm(X))
+    tol = jnp.asarray(1e-30, W.dtype)
+    mse_j = jax.jit(mse_objective)
+
+    def relerr(w, h):
+        return float(jnp.sqrt(jnp.maximum(2.0 * mse_j(X, w, h), 0.0)) / np.sqrt(xsq))
+
+    with _config.precision_scope(_config.solver_precision(upd)):
+        state0 = _prepare(upd, X, W, H)
+        # warm-up: compile the chunk program + the relerr program
+        wu = _solve_while_from(
+            upd, state0, X, W, H, 0, jnp.asarray(2, jnp.int32), tol,
+            with_objective=False,
+        )
+        relerr(wu[0], wu[1])
+
+        t0 = time.perf_counter()
+        w, h, state = W, H, state0
+        iters = 0
+        r = relerr(w, h)
+        # `not (r <= target)` keeps iterating on NaN (a diverged solver must
+        # be reported as never reaching the target, not as instant success)
+        while not (r <= target) and iters < max_iters:
+            w, h, state, t, _conv, _ = _solve_while_from(
+                upd, state, X, w, h, 0, jnp.asarray(chunk, jnp.int32), tol,
+                with_objective=False,
+            )
+            iters += int(t)
+            r = relerr(w, h)
+            if trajectory:
+                print(f"    iter {iters:5d}  relerr {r:.5f}", flush=True)
+        elapsed = time.perf_counter() - t0
+    return elapsed, iters, r
+
+
+def _lowrank_noisy(rng, p, n, k, noise=0.01):
+    """Rank-k nonnegative signal + uniform noise: a problem where a fixed
+    relative reconstruction error at rank k is achievable and meaningful."""
+    Wg = rng.random((p, k), dtype=np.float32)
+    Hg = rng.random((k, n), dtype=np.float32)
+    return Wg @ Hg + noise * rng.random((p, n), dtype=np.float32)
+
+
+# Targets chosen from calibration trajectories (docs/tpu_results.md): roughly
+# the quality reached after ~100 reference-default iterations, well above each
+# problem's noise/bf16 floor so every solver can cross them.
+TTT = {
+    "ttt1": {"target": 0.010, "desc": "500x500 k8 MU-MSE"},
+    "ttt2": {"target": 0.020, "desc": "2000x1000 k32 MU-KL"},
+    "ttt3": {"target": 0.010, "desc": "100kx10k k64 projals/alspgrad"},
+    "ttt4": {"target": 0.560, "desc": "sparse powerlaw k128 cd/greedycd"},
+}
+
+
+def ttt1(trajectory=False):
+    import jax.numpy as jnp
+
+    from nmf_tpu.models.multupd import MultUpdate
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(_lowrank_noisy(rng, 500, 500, 8))
+    W = jnp.asarray(rng.random((500, 8), dtype=np.float32))
+    H = jnp.asarray(rng.random((8, 500), dtype=np.float32))
+    target = TTT["ttt1"]["target"]
+    upd, _ = MultUpdate(obj="mse")._resolved(np.float32)
+    sec, iters, r = _time_to_tol(upd, X, W, H, target, chunk=200, trajectory=trajectory)
+    return {
+        "metric": "ttt1_mu_mse_500x500_k8",
+        "value": round(sec, 4),
+        "unit": f"sec_to_relerr_{target}",
+        "iters": iters,
+        "relerr": round(r, 5),
+    }
+
+
+def ttt2(trajectory=False):
+    import jax.numpy as jnp
+
+    from nmf_tpu.models.multupd import MultUpdate
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(_lowrank_noisy(rng, 2000, 1000, 32))
+    W = jnp.asarray(rng.random((2000, 32), dtype=np.float32))
+    H = jnp.asarray(rng.random((32, 1000), dtype=np.float32))
+    target = TTT["ttt2"]["target"]
+    upd, _ = MultUpdate(obj="div")._resolved(np.float32)
+    sec, iters, r = _time_to_tol(upd, X, W, H, target, chunk=100, trajectory=trajectory)
+    return {
+        "metric": "ttt2_mu_kl_2000x1000_k32",
+        "value": round(sec, 4),
+        "unit": f"sec_to_relerr_{target}",
+        "iters": iters,
+        "relerr": round(r, 5),
+    }
+
+
+def ttt3(trajectory=False):
+    import jax.numpy as jnp
+
+    from nmf_tpu.models.alspgrad import ALSPGrad
+    from nmf_tpu.models.projals import ProjectedALS
+
+    rng = np.random.default_rng(0)
+    p, n, k = 100_000, 10_000, 64
+    X = jnp.asarray(_lowrank_noisy(rng, p, n, k))
+    W = jnp.asarray(rng.random((p, k), dtype=np.float32))
+    H = jnp.asarray(rng.random((k, n), dtype=np.float32))
+    target = TTT["ttt3"]["target"]
+    pa, _ = ProjectedALS(maxiter=100)._resolved(np.float32)
+    sec_pa, it_pa, r_pa = _time_to_tol(
+        pa, X, W, H, target, chunk=5, max_iters=300, trajectory=trajectory
+    )
+    al, _ = ALSPGrad(maxiter=100, maxsubiter=20)._resolved(np.float32)
+    sec_al, it_al, r_al = _time_to_tol(
+        al, X, W, H, target, chunk=2, max_iters=100, trajectory=trajectory
+    )
+    return {
+        "metric": "ttt3_100kx10k_k64",
+        "value": round(sec_pa, 3),
+        "unit": f"projals_sec_to_relerr_{target}",
+        "projals": {"sec": round(sec_pa, 3), "iters": it_pa, "relerr": round(r_pa, 5)},
+        "alspgrad": {"sec": round(sec_al, 3), "iters": it_al, "relerr": round(r_al, 5)},
+    }
+
+
+def _movielens_like(rng, p=163_000, n=59_000, nnz=25_000_000):
+    rows = np.minimum((rng.pareto(1.2, nnz) * p / 50), p - 1).astype(np.int64)
+    cols = np.minimum((rng.pareto(1.2, nnz) * n / 50), n - 1).astype(np.int64)
+    rows = rng.permutation(p)[rows]
+    cols = rng.permutation(n)[cols]
+    key = np.unique(rows * n + cols)
+    rows, cols = (key // n).astype(np.int32), (key % n).astype(np.int32)
+    vals = (rng.random(len(key)) * 4 + 1).astype(np.float32)
+    return rows, cols, vals
+
+
+def ttt4(trajectory=False):
+    import jax.numpy as jnp
+
+    from nmf_tpu.models.coorddesc import CoordinateDescent
+    from nmf_tpu.models.greedycd import GreedyCD
+    from nmf_tpu.ops.sparse_format import build_tiled
+
+    rng = np.random.default_rng(0)
+    p, n, k = 163_000, 59_000, 128
+    rows, cols, vals = _movielens_like(rng)
+    X = build_tiled(rows, cols, vals, (p, n))
+    W = jnp.asarray(rng.random((p, k), dtype=np.float32))
+    H = jnp.asarray(rng.random((k, n), dtype=np.float32))
+    target = TTT["ttt4"]["target"]
+    cd, _ = CoordinateDescent(maxiter=100)._resolved(np.float32)
+    sec_cd, it_cd, r_cd = _time_to_tol(
+        cd, X, W, H, target, chunk=5, max_iters=200, trajectory=trajectory
+    )
+    g, _ = GreedyCD(maxiter=100)._resolved(np.float32)
+    sec_g, it_g, r_g = _time_to_tol(
+        g, X, W, H, target, chunk=5, max_iters=200, trajectory=trajectory
+    )
+    return {
+        "metric": "ttt4_sparse_163kx59k_k128",
+        "value": round(sec_cd, 3),
+        "unit": f"hals_sec_to_relerr_{target}",
+        "nnz": len(vals),
+        "cd": {"sec": round(sec_cd, 3), "iters": it_cd, "relerr": round(r_cd, 5)},
+        "greedycd": {"sec": round(sec_g, 3), "iters": it_g, "relerr": round(r_g, 5)},
+    }
+
+
 def config1():
     import jax.numpy as jnp
 
@@ -139,17 +325,11 @@ def config4():
     from nmf_tpu.ops.sparse_format import build_tiled
 
     rng = np.random.default_rng(0)
-    p, n, k, nnz = 163_000, 59_000, 128, 25_000_000
+    p, n, k = 163_000, 59_000, 128
     # MovieLens-style power-law marginals (real ratings matrices are heavily
     # skewed); dedup keeps ~21M nnz
-    rows = np.minimum((rng.pareto(1.2, nnz) * p / 50), p - 1).astype(np.int64)
-    cols = np.minimum((rng.pareto(1.2, nnz) * n / 50), n - 1).astype(np.int64)
-    rows = rng.permutation(p)[rows]
-    cols = rng.permutation(n)[cols]
-    key = np.unique(rows * n + cols)
-    rows, cols = (key // n).astype(np.int32), (key % n).astype(np.int32)
-    nnz = len(key)
-    vals = (rng.random(nnz) * 4 + 1).astype(np.float32)  # ratings-like
+    rows, cols, vals = _movielens_like(rng)
+    nnz = len(vals)
     X = build_tiled(rows, cols, vals, (p, n))  # compact layout + degree sort
     W = jnp.asarray(rng.random((p, k), dtype=np.float32))
     H = jnp.asarray(rng.random((k, n), dtype=np.float32))
@@ -218,6 +398,10 @@ CONFIGS = {
     "config3": config3,
     "config4": config4,
     "config5": config5,
+    "ttt1": ttt1,
+    "ttt2": ttt2,
+    "ttt3": ttt3,
+    "ttt4": ttt4,
 }
 
 

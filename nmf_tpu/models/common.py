@@ -212,13 +212,15 @@ class _Carry(NamedTuple):
     dev: jax.Array
 
 
-@jax.jit
-def _solve_while_from(upd, state, X, W, H, t0, maxiter, tol):
+@partial(jax.jit, static_argnames=("with_objective",))
+def _solve_while_from(upd, state, X, W, H, t0, maxiter, tol, with_objective=True):
     """Resumable core: run the while_loop from iteration ``t0`` with an
     existing solver state.  Returns the final carry pieces including the
     solver state, so a host driver can checkpoint and continue with identical
     semantics (ALSPGrad's decaying tolg, CD's shuffle key, ... live in
-    ``state``)."""
+    ``state``).  ``with_objective=False`` skips the final O(pn) objective
+    pass (chunked drivers that only need it on the last chunk — checkpointing,
+    time-to-tol — return NaN in its slot)."""
     impl = _impl_for(upd)
     dt = W.dtype
 
@@ -241,8 +243,11 @@ def _solve_while_from(upd, state, X, W, H, t0, maxiter, tol):
         jnp.zeros((), dt),
     )
     final = jax.lax.while_loop(cond, body, init)
-    with jax.named_scope("nmf_objective"):
-        objv = impl.objective(upd, final.state, X, final.W, final.H)
+    if with_objective:
+        with jax.named_scope("nmf_objective"):
+            objv = impl.objective(upd, final.state, X, final.W, final.H)
+    else:
+        objv = jnp.full((), jnp.nan, dt)
     return final.W, final.H, final.state, final.t, final.converged, objv
 
 

@@ -52,12 +52,13 @@ __all__ = [
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class _ShardedSide:
-    """Stacked per-device TiledSides for one orientation.
+    """Per-device TiledSides for one orientation, as global sharded arrays.
 
-    Arrays have a leading (R*C,) device axis, sharded ("rows","cols")-major.
+    Arrays have leading (R, C) device axes (fwd; (C, R) for bwd), sharded
+    one block per device; each process materializes only its own blocks.
     """
 
-    lrows: jax.Array = data_field()  # (RC, ntiles, TILE) int32
+    lrows: jax.Array = data_field()  # (R, C, ntiles, TILE) int32
     lcols: jax.Array = data_field()
     vals: jax.Array = data_field()
     n_stripes: int = static_field(default=1)
@@ -108,150 +109,190 @@ class ShardedTiled:
         )
 
 
-def _build_sharded_side(rows, cols, vals, p, n, R, C, stripe_tiles):
-    """Per-(i,j) local TiledSides, padded to uniform tile counts, stacked.
+def _side_meta(local_p, local_n, stripe_tiles, max_chunks):
+    """Static grid metadata of one block orientation (mirrors _build_side)."""
+    n_rowpanels = -(-local_p // TILE)
+    n_colpanels = -(-local_n // TILE)
+    st = min(stripe_tiles, n_rowpanels)
+    n_stripes = -(-n_rowpanels // st)
+    tiles_per_step = st * max_chunks
+    ntiles = n_stripes * n_colpanels * tiles_per_step
+    return n_stripes, n_colpanels, tiles_per_step, st, ntiles
 
-    Returns ``(side, perms)`` where ``perms[d]`` maps the d-th device block's
-    nonzeros (in masked-original order) to flat slots of that block's padded
-    chunk arrays — the hook for cross-orientation value propagation
-    (``sharded_scale_values``)."""
-    # pad global dims so each device block is a whole number of tiles
-    local_p = -(-(-(-p // R)) // TILE) * TILE  # ceil(p/R) rounded up to TILE
-    local_n = -(-(-(-n // C)) // TILE) * TILE
-    bi = rows // local_p
-    bj = cols // local_n
-    sides = []
-    for i in range(R):
-        for j in range(C):
-            m = (bi == i) & (bj == j)
-            sides.append(
-                _build_side(
-                    rows[m] - i * local_p,
-                    cols[m] - j * local_n,
-                    vals[m],
-                    local_p,
-                    local_n,
-                    stripe_tiles,
-                )
-            )
-    # uniform padding across devices: same max_chunks -> same ntiles
-    max_mc = max(s.max_chunks for s in sides)
-    sidesu = []
-    perms = []
-    for s in sides:
-        if s.max_chunks == max_mc:
-            sidesu.append(s)
-            perms.append(np.asarray(s.perm))
-            continue
-        # rebuild chunk arrays with max_mc chunk slots per tile
-        lr = np.zeros(
-            (s.n_stripes * s.n_colpanels * s.panels_per_stripe * max_mc, TILE),
-            np.int32,
-        )
-        lc = np.zeros_like(lr)
-        vv = np.zeros(lr.shape, np.float32)
-        old = np.asarray(s.lrows), np.asarray(s.lcols), np.asarray(s.vals)
-        n_groups = s.n_stripes * s.n_colpanels * s.panels_per_stripe
-        o = old[0].reshape(n_groups, s.max_chunks, TILE)
-        oc = old[1].reshape(n_groups, s.max_chunks, TILE)
-        ov = old[2].reshape(n_groups, s.max_chunks, TILE)
-        lr.reshape(n_groups, max_mc, TILE)[:, : s.max_chunks] = o
-        lc.reshape(n_groups, max_mc, TILE)[:, : s.max_chunks] = oc
-        vv.reshape(n_groups, max_mc, TILE)[:, : s.max_chunks] = ov
-        # remap slot perm: old slot ((g*old_mc + c)*TILE + s) ->
-        # ((g*max_mc + c)*TILE + s)
-        op = np.asarray(s.perm)
-        tile_old, slot = op // TILE, op % TILE
-        g, c = tile_old // s.max_chunks, tile_old % s.max_chunks
-        perms.append((g * max_mc + c) * TILE + slot)
-        sidesu.append(
-            TiledSide(
-                jnp.asarray(lr),
-                jnp.asarray(lc),
-                jnp.asarray(vv),
-                s.perm,
-                s.n_stripes,
-                s.n_colpanels,
-                s.panels_per_stripe * max_mc,
-                s.panels_per_stripe,
-                max_mc,
-                s.rows,
-                s.cols,
-            )
-        )
-    s0 = sidesu[0]
-    lrows = jnp.stack([s.lrows for s in sidesu])
-    lcols = jnp.stack([s.lcols for s in sidesu])
-    valsb = jnp.stack([s.vals for s in sidesu])
-    side = _ShardedSide(
-        lrows,
-        lcols,
-        valsb,
-        s0.n_stripes,
-        s0.n_colpanels,
-        s0.panels_per_stripe * max_mc,
-        s0.panels_per_stripe,
-        max_mc,
-        local_p,
-        local_n,
+
+def _pad_side(s: TiledSide, max_mc: int):
+    """Pad a block's chunk arrays to ``max_mc`` chunk slots per tile; returns
+    (lrows, lcols, vals, perm) as numpy with the perm remapped to the padded
+    slot layout."""
+    lr0 = np.asarray(s.lrows)
+    lc0 = np.asarray(s.lcols)
+    vv0 = np.asarray(s.vals)
+    perm0 = np.asarray(s.perm)
+    if s.max_chunks == max_mc:
+        return lr0, lc0, vv0, perm0
+    n_groups = s.n_stripes * s.n_colpanels * s.panels_per_stripe
+    lr = np.zeros((n_groups * max_mc, TILE), np.int32)
+    lc = np.zeros_like(lr)
+    vv = np.zeros(lr.shape, np.float32)
+    lr.reshape(n_groups, max_mc, TILE)[:, : s.max_chunks] = lr0.reshape(
+        n_groups, s.max_chunks, TILE
     )
-    return side, perms
+    lc.reshape(n_groups, max_mc, TILE)[:, : s.max_chunks] = lc0.reshape(
+        n_groups, s.max_chunks, TILE
+    )
+    vv.reshape(n_groups, max_mc, TILE)[:, : s.max_chunks] = vv0.reshape(
+        n_groups, s.max_chunks, TILE
+    )
+    # remap slot perm: old slot ((g*old_mc + c)*TILE + t) ->
+    # ((g*max_mc + c)*TILE + t)
+    tile_old, slot = perm0 // TILE, perm0 % TILE
+    g, c = tile_old // s.max_chunks, tile_old % s.max_chunks
+    perm = (g * max_mc + c) * TILE + slot
+    return lr, lc, vv, perm
 
 
-def shard_tiled(rows, cols, vals, shape, mesh: Mesh, *, stripe_tiles: int = 32) -> ShardedTiled:
-    """Build the 2-D sharded tiling from COO data for ``mesh``."""
+def _assemble(mesh, spec, global_shape, blocks, key_fn):
+    """Global sharded array from per-block host arrays this process owns.
+    ``blocks[(i, j)]`` is the (i, j) device block WITHOUT the two leading
+    unit dims; ``key_fn(index)`` maps a shard index to the (i, j) key."""
+
+    def cb(index):
+        return blocks[key_fn(index)][None, None]
+
+    return jax.make_array_from_callback(
+        global_shape, NamedSharding(mesh, spec), cb
+    )
+
+
+def _fwd_key(index):
+    return (index[0].start or 0, index[1].start or 0)
+
+
+def _bwd_key(index):
+    return (index[1].start or 0, index[0].start or 0)
+
+
+def shard_tiled(
+    rows, cols, vals, shape, mesh: Mesh, *, stripe_tiles: int = 32,
+    local: bool = False,
+) -> ShardedTiled:
+    """Build the 2-D sharded tiling from COO data for ``mesh``.
+
+    **Process-local**: each process bins and materializes ONLY the (row-block,
+    col-block) tiles owned by its own devices — at the 10M x 1M scale no host
+    ever holds the whole matrix.  Cross-process coordination is two tiny
+    allgathers (the uniform chunk-padding bound and the value stats); the
+    global arrays are assembled with ``jax.make_array_from_callback``.
+
+    ``local=False`` (default): every process passes the FULL COO and keeps
+    its share (convenient single-host path).  ``local=True``: each process
+    passes only its own nonzeros (e.g. from its input-file shard); entries
+    that belong to another process's blocks raise.
+    """
     p, n = shape
     R = mesh.shape[ROWS]
     C = mesh.shape[COLS]
     rows = np.asarray(rows, np.int32)
     cols = np.asarray(cols, np.int32)
     vals = np.asarray(vals, np.float32)
-    fwd, perms_f = _build_sharded_side(rows, cols, vals, p, n, R, C, stripe_tiles)
-    bwd, perms_b = _build_sharded_side(cols, rows, vals, n, p, C, R, stripe_tiles)
+    # pad global dims so each device block is a whole number of tiles
+    local_p = -(-(-(-p // R)) // TILE) * TILE  # ceil(p/R) rounded up to TILE
+    local_n = -(-(-(-n // C)) // TILE) * TILE
+
+    multiproc = jax.process_count() > 1
+    pid = jax.process_index()
+    dev_grid = np.asarray(mesh.devices)
+    owned = [
+        (i, j)
+        for i in range(R)
+        for j in range(C)
+        if (not multiproc) or dev_grid[i, j].process_index == pid
+    ]
+
+    bi = rows // local_p
+    bj = cols // local_n
+    covered = np.zeros(len(rows), bool)
+    fwd_blocks, bwd_blocks = {}, {}
+    for (i, j) in owned:
+        m = (bi == i) & (bj == j)
+        covered |= m
+        fwd_blocks[(i, j)] = _build_side(
+            rows[m] - i * local_p, cols[m] - j * local_n, vals[m],
+            local_p, local_n, stripe_tiles,
+        )
+        bwd_blocks[(i, j)] = _build_side(
+            cols[m] - j * local_n, rows[m] - i * local_p, vals[m],
+            local_n, local_p, stripe_tiles,
+        )
+    if local and not covered.all():
+        raise ValueError(
+            "local=True: some nonzeros fall in blocks owned by other "
+            "processes; pass each process only its own entries."
+        )
+
+    # uniform chunk padding + value stats: the only cross-process agreement
+    mc_f = max((s.max_chunks for s in fwd_blocks.values()), default=1)
+    mc_b = max((s.max_chunks for s in bwd_blocks.values()), default=1)
+    ov = vals[covered] if multiproc else vals
+    stats_local = np.asarray(
+        [ov.sum(dtype=np.float64), (ov.astype(np.float64) ** 2).sum(),
+         ov.min() if len(ov) else np.inf],
+        np.float64,
+    )
+    if multiproc:
+        from jax.experimental import multihost_utils
+
+        g = multihost_utils.process_allgather(
+            np.asarray([mc_f, mc_b], np.int64)
+        )
+        mc_f, mc_b = int(g[..., 0].max()), int(g[..., 1].max())
+        sg = multihost_utils.process_allgather(stats_local)
+        stats_local = np.asarray(
+            [sg[..., 0].sum(), sg[..., 1].sum(), sg[..., 2].min()]
+        )
+    if not np.isfinite(stats_local[2]):
+        stats_local[2] = 0.0
+    stats = jnp.asarray(stats_local, jnp.float32)
+
+    nsf, ncf, tpsf, stf, ntf = _side_meta(local_p, local_n, stripe_tiles, mc_f)
+    nsb, ncb, tpsb, stb, ntb = _side_meta(local_n, local_p, stripe_tiles, mc_b)
+
+    padded_f = {k: _pad_side(s, mc_f) for k, s in fwd_blocks.items()}
+    padded_b = {k: _pad_side(s, mc_b) for k, s in bwd_blocks.items()}
     # per-device bwd-slot -> fwd-slot map (same nnz subset, same masked order
-    # on both sides; see _build_sharded_side docstring)
-    fwd_slots = fwd.lrows.shape[1] * TILE
-    bwd_slots = bwd.lrows.shape[1] * TILE
-    b2f = np.full((C * R, bwd_slots), fwd_slots, np.int32)
-    for i in range(R):
-        for j in range(C):
-            pf = perms_f[i * C + j]
-            pb = perms_b[j * R + i]
-            b2f[j * R + i][pb] = pf
-    b2f = jnp.asarray(b2f.reshape(C, R, bwd_slots))
-    stats = jnp.asarray(
-        [vals.sum(dtype=np.float64), (vals.astype(np.float64) ** 2).sum(),
-         vals.min() if len(vals) else 0.0],
-        jnp.float32,
+    # on both orientations)
+    b2f_blocks = {}
+    for k in padded_f:
+        pf, pb = padded_f[k][3], padded_b[k][3]
+        m = np.full(ntb * TILE, ntf * TILE, np.int32)
+        m[pb] = pf
+        b2f_blocks[k] = m
+
+    def side_arrays(padded, which):
+        return {k: v[which] for k, v in padded.items()}
+
+    fwd = _ShardedSide(
+        _assemble(mesh, P(ROWS, COLS, None, None), (R, C, ntf, TILE),
+                  side_arrays(padded_f, 0), _fwd_key),
+        _assemble(mesh, P(ROWS, COLS, None, None), (R, C, ntf, TILE),
+                  side_arrays(padded_f, 1), _fwd_key),
+        _assemble(mesh, P(ROWS, COLS, None, None), (R, C, ntf, TILE),
+                  side_arrays(padded_f, 2), _fwd_key),
+        nsf, ncf, tpsf, stf, mc_f, local_p, local_n,
     )
-    st = ShardedTiled(fwd, bwd, stats, b2f, (p, n), (R, C), False, mesh)
-    return _place(st, mesh)
-
-
-def _place(st: ShardedTiled, mesh: Mesh) -> ShardedTiled:
-    """Device-put the stacked arrays so block d = i*C+j lands on device (i,j)."""
-    R, C = st.mesh_shape
-
-    def put(side, transposed):
-        # leading axis order is (i, j) for fwd and (j, i) for bwd
-        arrs = {}
-        for name in ("lrows", "lcols", "vals"):
-            a = getattr(side, name)
-            a = a.reshape((R, C) + a.shape[1:]) if not transposed else a.reshape(
-                (C, R) + a.shape[1:]
-            )
-            spec = (
-                P(ROWS, COLS, None, None) if not transposed else P(COLS, ROWS, None, None)
-            )
-            arrs[name] = jax.device_put(a, NamedSharding(mesh, spec))
-        return dataclasses.replace(side, **arrs)
-
-    b2f = st.b2f
-    if b2f is not None:
-        b2f = jax.device_put(b2f, NamedSharding(mesh, P(COLS, ROWS, None)))
-    return dataclasses.replace(
-        st, fwd=put(st.fwd, False), bwd=put(st.bwd, True), b2f=b2f
+    bwd = _ShardedSide(
+        _assemble(mesh, P(COLS, ROWS, None, None), (C, R, ntb, TILE),
+                  side_arrays(padded_b, 0), _bwd_key),
+        _assemble(mesh, P(COLS, ROWS, None, None), (C, R, ntb, TILE),
+                  side_arrays(padded_b, 1), _bwd_key),
+        _assemble(mesh, P(COLS, ROWS, None, None), (C, R, ntb, TILE),
+                  side_arrays(padded_b, 2), _bwd_key),
+        nsb, ncb, tpsb, stb, mc_b, local_n, local_p,
     )
+    b2f = _assemble(
+        mesh, P(COLS, ROWS, None), (C, R, ntb * TILE), b2f_blocks, _bwd_key,
+    )
+    return ShardedTiled(fwd, bwd, stats, b2f, (p, n), (R, C), False, mesh)
 
 
 def _local_matmul(side_meta, lrows, lcols, vals, Dt_local, precision):
