@@ -72,11 +72,17 @@ def _update(upd: ProjectedALS, state, X, W, H):
     lam_h = jnp.asarray(upd.lambda_h, dt)
     eye = jnp.eye(k, dtype=dt)
 
+    # The k x k Grams feed a Cholesky: computed at reduced TPU matmul
+    # precision (3-pass bf16) their rounding can exceed the lambda ridge and
+    # make them *indefinite* -> NaN factors (observed at 100k x 10k k=64,
+    # Gram scale ~1.6e5, min eig -2.6e-3 vs lambda 4.9e-3).  They are
+    # O(k/n) of the sweep's flops, so exact f32 here is free.
+    hi = jax.lax.Precision.HIGHEST
     if upd.update_H:
-        WtW = W.T @ W + lam_h * eye
+        WtW = jnp.matmul(W.T, W, precision=hi) + lam_h * eye
         H = projectnn(pdsolve(WtW, matops.mtm(W.T, X)))
 
-    HHt = H @ H.T + lam_w * eye
+    HHt = jnp.matmul(H, H.T, precision=hi) + lam_w * eye
     W = projectnn(pdrsolve(matops.mm(X, H.T), HHt))
     return W, H, state
 

@@ -112,10 +112,11 @@ def mtm(D, X):
 
         return tiled_mtm(X, D.T).T.astype(D.dtype)
     if is_sparse(X):
-        # (X' @ D')' with the sparse operand on the left keeps BCOO fast paths.
-        Xt = transpose(X)
+        # Contract X's axis 0 with D' directly: (n, k) = X'D', transposed.
+        # (Avoids re-executing a bcoo_transpose index permutation on every
+        # solve-loop iteration; measured within noise of the transpose form.)
         return jsparse.bcoo_dot_general(
-            Xt, D.T, dimension_numbers=(((1,), (0,)), ((), ()))
+            _as_bcoo(X), D.T, dimension_numbers=(((0,), (0,)), ((), ()))
         ).T
     return D @ X
 

@@ -58,11 +58,26 @@ def _resolve_precision(precision: str) -> str:
     return "fast"
 
 
-def _chunk_update(acc_ref, dblk, lrow, lcol, val, rr, K, precision, rp):
+def _gather_wide(dblk, lcol, K, span):
+    """Lane-gather each slot's D column out of a (K, span*TILE) panel.
+    Mosaic's dynamic_gather table spans one vreg (128 lanes), so wide panels
+    decompose into ``span`` sub-gathers + per-slot segment select."""
+    if span == 1:
+        idx = jnp.broadcast_to(lcol[None, :], (K, TILE))
+        return jnp.take_along_axis(dblk, idx, axis=1)
+    seg = lcol >> 7
+    idx = jnp.broadcast_to((lcol & 127)[None, :], (K, TILE))
+    gathered = jnp.zeros((K, TILE), dblk.dtype)
+    for s in range(span):
+        g = jnp.take_along_axis(dblk[:, s * TILE : (s + 1) * TILE], idx, axis=1)
+        gathered = jnp.where((seg == s)[None, :], g, gathered)
+    return gathered
+
+
+def _chunk_update(acc_ref, dblk, lrow, lcol, val, rr, K, precision, rp, span=1):
     """One 128-nnz chunk: lane-gather D columns, scale, one-hot MXU scatter
     into the accumulator's row panel ``rp``."""
-    idx = jnp.broadcast_to(lcol[None, :], (K, TILE))
-    gathered = jnp.take_along_axis(dblk, idx, axis=1)
+    gathered = _gather_wide(dblk, lcol, K, span)
     scaled = gathered * val[None, :]
     onehot = (lrow[:, None] == rr).astype(jnp.bfloat16)
 
@@ -135,7 +150,7 @@ def _make_kernel(tiles_per_step, max_chunks, n_colpanels, stripe_width, K, preci
     return kernel
 
 
-def _make_kernel_compact(G, stripe_width, K, precision: str):
+def _make_kernel_compact(G, stripe_width, K, precision: str, span: int = 1):
     def kernel(
         win_panel, win_stripe, rp_ref, lrows_ref, lcols_ref, vals_ref, dt_ref,
         out_hbm, acc_ref, copy_sem,
@@ -148,15 +163,19 @@ def _make_kernel_compact(G, stripe_width, K, precision: str):
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        dblk = dt_ref[:]  # (K, TILE)
+        dblk = dt_ref[:]  # (K, span*TILE)
         rr = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
 
         # unrolled: static chunk slices (no dynamic sublane reads) and VPU/MXU
-        # instruction overlap across chunks
+        # instruction overlap across chunks.  Row panels arrive 4-per-int32
+        # (byte lanes; the SMEM budget fix) — t % 4 is static so unpacking
+        # is a free scalar shift+mask.
         for t in range(G):
+            w = rp_ref[i * (G // 4) + t // 4]
+            rp = (w >> (8 * (t % 4))) & 0xFF
             _chunk_update(
                 acc_ref, dblk, lrows_ref[t, :], lcols_ref[t, :], vals_ref[t, :],
-                rr, K, precision, rp_ref[i * G + t],
+                rr, K, precision, rp, span,
             )
 
         # flush when the next window starts a new stripe (sentinel -1 at end)
@@ -225,10 +244,10 @@ def _tiled_matmul_compact_impl(
     chunk_rp, win_panel, win_stripe, lrows, lcols, vals, Dt, meta,
     interpret=False, precision="highest",
 ):
-    (n_stripes, n_colpanels, n_windows, G, stripe_width, p_pad) = meta
+    (n_stripes, n_colpanels, n_windows, G, stripe_width, p_pad, span) = meta
     K = Dt.shape[0]
     prec = _resolve_precision(precision)
-    kernel = _make_kernel_compact(G, stripe_width, K, prec)
+    kernel = _make_kernel_compact(G, stripe_width, K, prec, span)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -244,7 +263,8 @@ def _tiled_matmul_compact_impl(
                 (G, TILE), lambda i, wp, ws, rp: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (K, TILE), lambda i, wp, ws, rp: (0, wp[i]), memory_space=pltpu.VMEM
+                (K, span * TILE), lambda i, wp, ws, rp: (0, wp[i]),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -280,7 +300,7 @@ def tiled_matmul_t(side, D, *, interpret: bool = False, precision: str = "highes
     p_pad = side.n_stripes * stripe_width
 
     Dt = jnp.asarray(D, jnp.float32).T
-    n_pad = side.n_colpanels * TILE
+    n_pad = side.n_colpanels * TILE * getattr(side, "span", 1)
     Dt = jnp.pad(Dt, ((0, K - k), (0, n_pad - Dt.shape[1])))
 
     if isinstance(side, TiledSideC):
@@ -291,6 +311,7 @@ def tiled_matmul_t(side, D, *, interpret: bool = False, precision: str = "highes
             side.group,
             stripe_width,
             p_pad,
+            side.span,
         )
         out = _tiled_matmul_compact_impl(
             side.chunk_rp,
@@ -304,6 +325,16 @@ def tiled_matmul_t(side, D, *, interpret: bool = False, precision: str = "highes
             interpret,
             precision,
         )
+        if side.n_dblocks:
+            out = out + _tiled_dense_impl(
+                side.dblk_rp,
+                side.dblk_panel,
+                side.dblk_stripe,
+                jnp.asarray(side.dvals, jnp.float32),
+                Dt,
+                (side.n_dblocks, stripe_width, p_pad),
+                interpret,
+            )
     else:
         meta = (
             side.n_stripes,
@@ -325,7 +356,118 @@ def tiled_matmul_t(side, D, *, interpret: bool = False, precision: str = "highes
     return out[:k, :p].T
 
 
-def _make_sddmm_kernel_compact(G, K):
+def _make_dense_kernel(G, stripe_width, K):
+    """Hybrid dense-tile path: blocks with many nonzeros skip the chunk
+    pipeline entirely — one (K x 128) @ (128 x 128) MXU matmul per block into
+    the stripe accumulator.  No gathers, no one-hot, no tail padding; exact
+    f32 via HIGHEST (6-pass).  G blocks per grid step (same (stripe, panel)
+    window, zero-padded) amortize the per-step overhead."""
+
+    def kernel(dwin_panel, dwin_stripe, rp_ref, tiles_ref, dt_ref, out_hbm,
+               acc_ref, copy_sem):
+        i = pl.program_id(0)
+        s = dwin_stripe[i]
+        prev = dwin_stripe[jnp.maximum(i - 1, 0)]
+
+        @pl.when(jnp.logical_or(i == 0, prev != s))
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        dblk = dt_ref[:]  # (K, TILE) column panel of D'
+        for t in range(G):
+            w = rp_ref[i * (G // 4) + t // 4]
+            rp = (w >> (8 * (t % 4))) & 0xFF
+            off = pl.multiple_of(rp * TILE, TILE)
+            # tile stored (col, row): out_rows += D_panel(K, cols) @ tile
+            contrib = jax.lax.dot_general(
+                dblk,
+                tiles_ref[t],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            acc_ref[:, pl.ds(off, TILE)] += contrib
+
+        @pl.when(dwin_stripe[i + 1] != s)
+        def _():
+            copy = pltpu.make_async_copy(
+                acc_ref,
+                out_hbm.at[:, pl.ds(s * stripe_width, stripe_width)],
+                copy_sem,
+            )
+            copy.start()
+            copy.wait()
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("meta", "interpret"))
+def _tiled_dense_impl(dblk_rp, dblk_panel, dblk_stripe, dvals, Dt, meta,
+                      interpret=False):
+    (ndblk, stripe_width, p_pad) = meta
+    from ..sparse_format import DENSE_GROUP as DG
+
+    nwin_d = ndblk // DG
+    K = Dt.shape[0]
+    kernel = _make_dense_kernel(DG, stripe_width, K)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nwin_d,),
+        in_specs=[
+            pl.BlockSpec(
+                (DG, TILE, TILE), lambda i, dp, dst, dr: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (K, TILE), lambda i, dp, dst, dr: (0, dp[i]),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((K, stripe_width), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K, p_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ndblk * TILE * TILE * K,
+            bytes_accessed=dvals.size * 4 + Dt.size * 4 + K * p_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(dblk_panel, dblk_stripe, dblk_rp.reshape(-1), dvals, Dt)
+
+
+def _dense_sample(side, Wt, Ht):
+    """(W @ H) over every slot of the dense-tile blocks, flattened in the
+    dense store's (block, col, row) order — the SDDMM complement of
+    ``_tiled_dense_impl``.  One XLA batched matmul; no custom kernel needed.
+    Zero-pad blocks produce garbage samples that no perm slot references."""
+    from ..sparse_format import DENSE_GROUP as DG
+
+    K = Wt.shape[0]
+    pps = side.panels_per_stripe
+    words = side.dblk_rp.reshape(-1)
+    rp_blk = (
+        (words[:, None] >> (8 * jnp.arange(4, dtype=words.dtype))) & 0xFF
+    ).reshape(-1)  # (ndblk,)
+    stripe_blk = jnp.repeat(side.dblk_stripe[:-1], DG)
+    panel_blk = jnp.repeat(side.dblk_panel[:-1], DG)
+    rp_panel = stripe_blk * pps + rp_blk
+    Wpan = jnp.take(Wt.reshape(K, -1, TILE), rp_panel, axis=1)  # (K, ndblk, rows)
+    Hpan = jnp.take(Ht.reshape(K, -1, TILE), panel_blk, axis=1)  # (K, ndblk, cols)
+    return jnp.einsum(
+        "kbr,kbc->bcr", Wpan, Hpan,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(-1)
+
+
+def _make_sddmm_kernel_compact(G, K, span=1):
     """SDDMM over the compact chunk layout: per 128-nnz chunk, lane-gather
     the W rows out of the stripe block and the H columns out of the col
     panel, multiply, reduce over sublanes — no scatter, no accumulator,
@@ -334,15 +476,15 @@ def _make_sddmm_kernel_compact(G, K):
     def kernel(win_panel, win_stripe, rp_ref, lrows_ref, lcols_ref, wt_ref,
                ht_ref, out_ref):
         i = pl.program_id(0)
-        hblk = ht_ref[:]  # (K, TILE) column panel of H
+        hblk = ht_ref[:]  # (K, span*TILE) column panel of H
         for t in range(G):
-            rp = rp_ref[i * G + t]
+            w = rp_ref[i * (G // 4) + t // 4]
+            rp = (w >> (8 * (t % 4))) & 0xFF
             off = pl.multiple_of(rp * TILE, TILE)
             wblk = wt_ref[:, pl.ds(off, TILE)]  # (K, TILE) row panel of W'
             idxr = jnp.broadcast_to(lrows_ref[t, :][None, :], (K, TILE))
-            idxc = jnp.broadcast_to(lcols_ref[t, :][None, :], (K, TILE))
             wg = jnp.take_along_axis(wblk, idxr, axis=1)
-            hg = jnp.take_along_axis(hblk, idxc, axis=1)
+            hg = _gather_wide(hblk, lcols_ref[t, :], K, span)
             out_ref[t, :] = jnp.sum(wg * hg, axis=0)
 
     return kernel
@@ -352,9 +494,9 @@ def _make_sddmm_kernel_compact(G, K):
 def _tiled_sddmm_compact_impl(
     chunk_rp, win_panel, win_stripe, lrows, lcols, Wt, Ht, meta, interpret=False
 ):
-    (n_windows, G, stripe_width) = meta
+    (n_windows, G, stripe_width, span) = meta
     K = Wt.shape[0]
-    kernel = _make_sddmm_kernel_compact(G, K)
+    kernel = _make_sddmm_kernel_compact(G, K, span)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_windows,),
@@ -371,7 +513,8 @@ def _tiled_sddmm_compact_impl(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (K, TILE), lambda i, wp, ws, rp: (0, wp[i]), memory_space=pltpu.VMEM
+                (K, span * TILE), lambda i, wp, ws, rp: (0, wp[i]),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -409,15 +552,18 @@ def tiled_sddmm(X: TiledCSR, W, H, *, interpret: bool = False):
     K = -(-k // 8) * 8
     stripe_width = side.panels_per_stripe * TILE
     p_pad = side.n_stripes * stripe_width
-    n_pad = side.n_colpanels * TILE
+    n_pad = side.n_colpanels * TILE * side.span
     Wt = jnp.pad(jnp.asarray(W, jnp.float32).T, ((0, K - k), (0, p_pad - W.shape[0])))
     Ht = jnp.pad(jnp.asarray(H, jnp.float32), ((0, K - k), (0, n_pad - H.shape[1])))
-    meta = (side.n_windows, side.group, stripe_width)
+    meta = (side.n_windows, side.group, stripe_width, side.span)
     out = _tiled_sddmm_compact_impl(
         side.chunk_rp, side.win_panel, side.win_stripe, side.lrows, side.lcols,
         Wt, Ht, meta, interpret,
     )
-    return jnp.take(out.reshape(-1), side.perm).astype(W.dtype)
+    flat = out.reshape(-1)
+    if side.n_dblocks:
+        flat = jnp.concatenate([flat, _dense_sample(side, Wt, Ht)])
+    return jnp.take(flat, side.perm).astype(W.dtype)
 
 
 def tiled_mm(X: TiledCSR, D, *, interpret: bool = False, precision: str = "highest"):

@@ -33,6 +33,7 @@ import numpy as np
 from ..models.common import data_field, static_field
 
 TILE = 128  # row-panel height == col-panel width == chunk capacity
+DENSE_GROUP = 8  # dense-tile blocks per kernel grid step (multiple of 4)
 
 __all__ = [
     "TILE",
@@ -83,7 +84,9 @@ class TiledSideC:
     lrows: jax.Array = data_field()  # (nwin*group, TILE) int32, row within panel
     lcols: jax.Array = data_field()  # (nwin*group, TILE) int32, col within panel
     vals: jax.Array = data_field()  # (nwin*group, TILE) float
-    chunk_rp: jax.Array = data_field()  # (nwin, group) int32, row panel in stripe
+    # (nwin, group//4) int32: per-chunk row panel in stripe, 4 packed per
+    # word (byte-lanes) so the scalar-prefetch operand fits SMEM at 10M+ nnz
+    chunk_rp: jax.Array = data_field()
     win_panel: jax.Array = data_field()  # (nwin+1,) int32 col panel per window
     win_stripe: jax.Array = data_field()  # (nwin+1,) int32 stripe per window (-1 sentinel)
     perm: jax.Array = data_field()  # (nnz,) int64: CSR-order slot in vals
@@ -94,9 +97,24 @@ class TiledSideC:
     panels_per_stripe: int = static_field(default=1)
     rows: int = static_field(default=0)
     cols: int = static_field(default=0)
-    # (nchunks*TILE,) int64: CSR-order nnz index per slot (inverse of perm;
-    # padding slots point one past the end).  Makes value refreshes a gather.
+    # (nchunks*TILE [+ ndblk*TILE*TILE],) int64: CSR-order nnz index per slot
+    # (inverse of perm; padding slots point one past the end).  Makes value
+    # refreshes a gather.
     inv: jax.Array | None = data_field(default=None)
+    # Hybrid dense-tile store: tiles with >= dense_tile_nnz nonzeros skip the
+    # chunk pipeline and ride the MXU as plain 128x128 blocks (no gathers, no
+    # tail padding).  ``dvals[b]`` is block b in (col, row) layout so the
+    # kernel computes ``out_panel += D_panel @ dvals[b]`` directly.  Blocks
+    # are grouped DENSE_GROUP per grid step: same (stripe, col panel) per
+    # window, zero-padded; per-window maps mirror win_panel/win_stripe.
+    dvals: jax.Array | None = data_field(default=None)  # (ndblk, TILE, TILE)
+    dblk_panel: jax.Array | None = data_field(default=None)  # (nwin_d+1,) int32
+    dblk_stripe: jax.Array | None = data_field(default=None)  # (nwin_d+1,) int32, -1 sentinel
+    dblk_rp: jax.Array | None = data_field(default=None)  # (nwin_d, DG//4) int32 packed
+    n_dblocks: int = static_field(default=0)  # padded block count (DG-multiple)
+    # chunk tiles span this many consecutive 128-col panels (wide-tail mode);
+    # lcols is in [0, span*128), n_colpanels counts WIDE panels
+    span: int = static_field(default=1)
 
 
 @jax.tree_util.register_dataclass
@@ -131,9 +149,10 @@ class TiledCSR:
         return 2
 
     def with_values(self, new_values):
-        """Same pattern, new values (CSR order) — updates both orientations.
-        With the ``inv`` slot->nnz maps this is two gathers (padding slots
-        fill with 0); the scatter path remains for legacy instances."""
+        """Same pattern, new values (CSR order) — updates both orientations
+        (chunk slots AND the hybrid dense-tile blocks when present).  With
+        the ``inv`` slot->nnz maps this is two gathers (padding slots fill
+        with 0); the scatter path remains for legacy instances."""
 
         def refresh(side):
             if side.inv is not None:
@@ -144,14 +163,16 @@ class TiledCSR:
                     .at[side.perm]
                     .set(new_values)
                 )
-            return flat.reshape(side.vals.shape)
+            n_chunk = side.vals.size
+            kw = {"vals": flat[:n_chunk].reshape(side.vals.shape)}
+            if getattr(side, "n_dblocks", 0):
+                kw["dvals"] = flat[n_chunk:].reshape(side.dvals.shape)
+            return dataclasses.replace(side, **kw)
 
-        fwd_vals = refresh(self.fwd)
-        bwd_vals = refresh(self.bwd)
         return dataclasses.replace(
             self,
-            fwd=dataclasses.replace(self.fwd, vals=fwd_vals),
-            bwd=dataclasses.replace(self.bwd, vals=bwd_vals),
+            fwd=refresh(self.fwd),
+            bwd=refresh(self.bwd),
             values=new_values,
         )
 
@@ -233,8 +254,19 @@ def _build_side(rows, cols, vals, p, n, stripe_tiles):
     )
 
 
-def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group):
-    """Bin (row, col, val) into the compact chunk layout for one orientation."""
+def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
+                        dense_thresh=None, tail_span=1):
+    """Bin (row, col, val) into the compact chunk layout for one orientation.
+
+    ``dense_thresh``: tiles with at least this many nonzeros are stored as
+    dense 128x128 blocks (the hybrid MXU path) instead of chunks.
+    ``tail_span``: chunk tiles span this many consecutive 128-col panels
+    (128 x span*128 wide tiles).  Ultra-sparse residuals (power-law tails
+    after the dense head is extracted) would otherwise burn a whole 128-slot
+    chunk per 128x128 tile; widening the tile collapses that padding at the
+    cost of a span-way decomposed lane-gather in the kernel."""
+    if tail_span not in (1, 2, 4, 8, 16):
+        raise ValueError("tail_span must be one of 1, 2, 4, 8, 16")
     if group % 8:
         raise ValueError(f"group must be a multiple of 8 (sublane tiling), got {group}")
     n_rowpanels = -(-p // TILE)
@@ -248,13 +280,45 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group):
     rps = rp % stripe_tiles
 
     order = np.lexsort((rps, cp, stripe))
-    s_rows, s_cols, s_vals = rows[order], cols[order], vals[order]
-    s_stripe, s_cp, s_rps = stripe[order], cp[order], rps[order]
+    a_rows, a_cols, a_vals = rows[order], cols[order], vals[order]
+    a_stripe, a_cp, a_rps = stripe[order], cp[order], rps[order]
+    akey = (a_stripe.astype(np.int64) * n_colpanels + a_cp) * stripe_tiles + a_rps
 
-    tkey = (s_stripe.astype(np.int64) * n_colpanels + s_cp) * stripe_tiles + s_rps
+    tiles_all, counts_all = np.unique(akey, return_counts=True)
+    if dense_thresh and len(tiles_all):
+        tile_dense = counts_all >= dense_thresh
+    else:
+        tile_dense = np.zeros(len(tiles_all), bool)
+    nnz_tile = (
+        np.repeat(np.arange(len(tiles_all)), counts_all)
+        if len(tiles_all)
+        else np.zeros(0, np.int64)
+    )
+    is_dense = tile_dense[nnz_tile] if len(tiles_all) else np.zeros(0, bool)
+    slot_sorted = np.empty(len(akey), np.int64)
+
+    span = tail_span
+    cwidth = TILE * span
+    n_cpanels = -(-n // cwidth)
+    sp = ~is_dense
+    s_rows, s_cols, s_vals = a_rows[sp], a_cols[sp], a_vals[sp]
+    if span > 1:
+        # re-sort the residual by the coarse (stripe, wide panel, rp) key
+        s_ccp = s_cols // cwidth
+        s_st = (s_rows // TILE) // stripe_tiles
+        s_rp2 = (s_rows // TILE) % stripe_tiles
+        o_s = np.lexsort((s_rp2, s_ccp, s_st))
+        s_rows, s_cols, s_vals = s_rows[o_s], s_cols[o_s], s_vals[o_s]
+        tkey = (
+            (s_st[o_s].astype(np.int64) * n_cpanels + s_ccp[o_s]) * stripe_tiles
+            + s_rp2[o_s]
+        )
+    else:
+        o_s = None
+        tkey = akey[sp]
     tiles, t_first, counts = np.unique(tkey, return_index=True, return_counts=True)
     nchunks_tile = -(-counts // TILE)
-    gkey_tile = tiles // stripe_tiles  # (stripe * n_colpanels + col_panel)
+    gkey_tile = tiles // stripe_tiles  # (stripe * n_cpanels + wide col panel)
 
     if len(tiles):
         g_uniq, g_first = np.unique(gkey_tile, return_index=True)
@@ -266,9 +330,9 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group):
 
     # every out stripe must be flushed at least once: give empty stripes a
     # dummy all-padding group (group zero-chunks at col panel 0)
-    missing = np.setdiff1d(np.arange(n_stripes, dtype=np.int64), g_uniq // n_colpanels)
+    missing = np.setdiff1d(np.arange(n_stripes, dtype=np.int64), g_uniq // n_cpanels)
     if len(missing):
-        g_uniq = np.concatenate([g_uniq, missing * n_colpanels])
+        g_uniq = np.concatenate([g_uniq, missing * n_cpanels])
         padded_per_group = np.concatenate(
             [padded_per_group, np.full(len(missing), group, np.int64)]
         )
@@ -304,7 +368,7 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group):
         chunk_idx = tile_chunk_base[tile_of_nnz] + chunk_within
 
         lrows[chunk_idx, slot] = (s_rows % TILE).astype(np.int32)
-        lcols[chunk_idx, slot] = (s_cols % TILE).astype(np.int32)
+        lcols[chunk_idx, slot] = (s_cols % cwidth).astype(np.int32)
         out_vals[chunk_idx, slot] = s_vals
 
         # row panel of every (non-padding) chunk
@@ -315,42 +379,124 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group):
             np.int32
         )
 
-        flat_slot = chunk_idx * TILE + slot
-        perm = np.empty(len(tkey), np.int64)
-        perm[order] = flat_slot
+        slot_sp = chunk_idx * TILE + slot
+        if o_s is None:
+            slot_sorted[sp] = slot_sp
+        else:
+            tmp = np.empty(len(slot_sp), np.int64)
+            tmp[o_s] = slot_sp
+            slot_sorted[sp] = tmp
+    nchunk_slots = total_chunks * TILE
+
+    # ---- dense-tile store (hybrid MXU path) ----
+    # Blocks are grouped DGROUP per grid step (same (stripe, col panel);
+    # groups zero-padded) so the per-step grid overhead amortizes like the
+    # chunk windows do.
+    d_tiles = tiles_all[tile_dense]
+    if len(d_tiles):
+        DG = DENSE_GROUP
+        gkey_d = d_tiles // stripe_tiles  # (stripe * n_colpanels + cp)
+        gd_uniq, gd_counts = np.unique(gkey_d, return_counts=True)
+        padded_d = -(-gd_counts // DG) * DG
+        # every stripe must be flushed once by the dense kernel too: one
+        # dummy all-zero window for stripes with no dense tile
+        miss_d = np.setdiff1d(
+            np.arange(n_stripes, dtype=np.int64), gd_uniq // n_colpanels
+        )
+        if len(miss_d):
+            gd_uniq = np.concatenate([gd_uniq, miss_d * n_colpanels])
+            padded_d = np.concatenate([padded_d, np.full(len(miss_d), DG, np.int64)])
+            od = np.argsort(gd_uniq, kind="stable")
+            gd_uniq, padded_d = gd_uniq[od], padded_d[od]
+        base_d = np.concatenate([[0], np.cumsum(padded_d)])[:-1]
+        ndblk = int(padded_d.sum())
+
+        # block position of each real dense tile: group base + rank within
+        # group (tiles are key-sorted, so rank = index - group's first index)
+        grp_of_tile_d = np.searchsorted(gd_uniq, gkey_d)
+        first_of_grp = np.searchsorted(gkey_d, gd_uniq)
+        within = np.arange(len(d_tiles)) - first_of_grp[grp_of_tile_d]
+        blk_pos = base_d[grp_of_tile_d] + within
+
+        dvals = np.zeros((ndblk, TILE, TILE), np.float32)
+        b_of_nnz = blk_pos[np.searchsorted(d_tiles, akey[is_dense])]
+        dlrow = (a_rows[is_dense] % TILE).astype(np.int64)
+        dlcol = (a_cols[is_dense] % TILE).astype(np.int64)
+        # (col, row) layout: the kernel computes out_panel += D_panel @ block
+        dvals[b_of_nnz, dlcol, dlrow] = a_vals[is_dense]
+
+        rp_blk = np.zeros(ndblk, np.int64)
+        rp_blk[blk_pos] = d_tiles % stripe_tiles
+        rp4d = rp_blk.reshape(-1, 4)
+        nwin_d = ndblk // DG
+        dblk_rp = (
+            (rp4d[:, 0] | (rp4d[:, 1] << 8) | (rp4d[:, 2] << 16) | (rp4d[:, 3] << 24))
+            .astype(np.int32)
+            .reshape(nwin_d, DG // 4)
+        )
+        win_per_d = (padded_d // DG).astype(np.int64)
+        dblk_stripe = np.append(
+            np.repeat((gd_uniq // n_colpanels).astype(np.int32), win_per_d), -1
+        ).astype(np.int32)
+        dblk_panel = np.append(
+            np.repeat((gd_uniq % n_colpanels).astype(np.int32), win_per_d), 0
+        ).astype(np.int32)
+        slot_sorted[is_dense] = (
+            nchunk_slots + b_of_nnz * TILE * TILE + dlcol * TILE + dlrow
+        )
     else:
-        perm = np.zeros(0, np.int64)
-    inv = np.full(total_chunks * TILE, len(tkey), np.int64)
-    inv[perm] = np.arange(len(tkey))
+        ndblk = 0
+        dvals = dblk_stripe = dblk_panel = dblk_rp = None
+
+    perm = np.empty(len(akey), np.int64)
+    perm[order] = slot_sorted
+    inv = np.full(nchunk_slots + ndblk * TILE * TILE, len(akey), np.int64)
+    inv[perm] = np.arange(len(akey))
 
     win_per_group = (padded_per_group // group).astype(np.int64)
-    win_stripe = np.repeat((g_uniq // n_colpanels).astype(np.int32), win_per_group)
-    win_panel = np.repeat((g_uniq % n_colpanels).astype(np.int32), win_per_group)
+    win_stripe = np.repeat((g_uniq // n_cpanels).astype(np.int32), win_per_group)
+    win_panel = np.repeat((g_uniq % n_cpanels).astype(np.int32), win_per_group)
     win_stripe = np.append(win_stripe, -1).astype(np.int32)  # sentinel: final flush
     win_panel = np.append(win_panel, 0).astype(np.int32)
 
+    # Pack 4 row panels per int32 word (rp < stripe_tiles <= 32 fits a byte):
+    # the kernel's scalar-prefetch operand must fit SMEM (1 MB) — unpacked
+    # int32 blew it at MovieLens scale (~440k chunks = 1.7 MB).
+    rp4 = chunk_rp.reshape(-1, 4)
+    rp_packed = (
+        rp4[:, 0] | (rp4[:, 1] << 8) | (rp4[:, 2] << 16) | (rp4[:, 3] << 24)
+    ).astype(np.int32)
+
+    asarray = lambda a: None if a is None else jnp.asarray(a)
     return TiledSideC(
         jnp.asarray(lrows),
         jnp.asarray(lcols),
         jnp.asarray(out_vals),
-        jnp.asarray(chunk_rp.reshape(n_windows, group)),
+        jnp.asarray(rp_packed.reshape(n_windows, group // 4)),
         jnp.asarray(win_panel),
         jnp.asarray(win_stripe),
         jnp.asarray(perm),
         n_stripes,
-        n_colpanels,
+        n_cpanels,
         n_windows,
         group,
         stripe_tiles,
         p,
         n,
         jnp.asarray(inv),
+        asarray(dvals),
+        asarray(dblk_panel),
+        asarray(dblk_stripe),
+        asarray(dblk_rp),
+        ndblk,
+        span,
     )
 
 
 def build_tiled(
     rows, cols, vals, shape, *, stripe_tiles: int = 32, layout: str = "compact",
-    group: int = 16, order: str = "degree",
+    group: int = 16, order: str = "degree", dense_tile_nnz: int | None = None,
+    tail_span: int = 1,
 ) -> TiledCSR:
     """Build both tiling orientations from COO data (deduped).
 
@@ -390,8 +536,14 @@ def build_tiled(
         cols_t = col_rank[cols]
 
     if layout == "compact":
-        fwd = _build_side_compact(rows_t, cols_t, vals, p, n, stripe_tiles, group)
-        bwd = _build_side_compact(cols_t, rows_t, vals, n, p, stripe_tiles, group)
+        fwd = _build_side_compact(
+            rows_t, cols_t, vals, p, n, stripe_tiles, group, dense_tile_nnz,
+            tail_span,
+        )
+        bwd = _build_side_compact(
+            cols_t, rows_t, vals, n, p, stripe_tiles, group, dense_tile_nnz,
+            tail_span,
+        )
     else:
         fwd = _build_side(rows_t, cols_t, vals, p, n, stripe_tiles)
         bwd = _build_side(cols_t, rows_t, vals, n, p, stripe_tiles)
@@ -411,9 +563,11 @@ def build_tiled(
 
 
 def from_bcoo(X, *, stripe_tiles: int = 32, layout: str = "compact",
-              group: int = 16, order: str = "degree") -> TiledCSR:
+              group: int = 16, order: str = "degree",
+              dense_tile_nnz: int | None = None, tail_span: int = 1) -> TiledCSR:
     idx = np.asarray(X.indices)
     return build_tiled(
         idx[:, 0], idx[:, 1], np.asarray(X.data), X.shape,
         stripe_tiles=stripe_tiles, layout=layout, group=group, order=order,
+        dense_tile_nnz=dense_tile_nnz, tail_span=tail_span,
     )

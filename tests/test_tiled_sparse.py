@@ -148,3 +148,72 @@ def test_with_values_gather_matches_scatter():
     b = legacy.with_values(new)
     np.testing.assert_array_equal(np.asarray(a.fwd.vals), np.asarray(b.fwd.vals))
     np.testing.assert_array_equal(np.asarray(a.bwd.vals), np.asarray(b.bwd.vals))
+
+
+def test_hybrid_dense_tiles_match_dense():
+    """The hybrid dense-tile store (dense_tile_nnz): mm/mtm/sddmm and value
+    refreshes agree with dense math for both orderings."""
+    from nmf_tpu.ops.pallas.sparse import tiled_mm, tiled_mtm, tiled_sddmm
+    from nmf_tpu.ops.sparse_format import build_tiled
+
+    rng = np.random.default_rng(7)
+    p, n, k = 700, 520, 9
+    Xd = (rng.random((p, n)) * (rng.random((p, n)) < 0.03)).astype(np.float32)
+    # a dense head block so some tiles cross the threshold
+    Xd[:200, :256] = (
+        rng.random((200, 256)) * (rng.random((200, 256)) < 0.5)
+    ).astype(np.float32)
+    r, c = np.nonzero(Xd)
+    for order in ("natural", "degree"):
+        X = build_tiled(
+            r, c, Xd[r, c], Xd.shape, stripe_tiles=3, group=8, order=order,
+            dense_tile_nnz=256,
+        )
+        assert X.fwd.n_dblocks > 0
+        D = jnp.asarray(rng.random((n, k)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(tiled_mm(X, D)), Xd @ np.asarray(D), rtol=3e-5, atol=2e-4
+        )
+        D2 = jnp.asarray(rng.random((p, k)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(tiled_mtm(X, D2)), Xd.T @ np.asarray(D2), rtol=3e-5, atol=2e-4
+        )
+        W = jnp.asarray(rng.random((p, k)).astype(np.float32))
+        H = jnp.asarray(rng.random((k, n)).astype(np.float32))
+        got = np.asarray(tiled_sddmm(X, W, H))
+        ref = (np.asarray(W) @ np.asarray(H))[
+            np.asarray(X.row_idx), np.asarray(X.col_idx)
+        ]
+        np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-4)
+        Y = matops.scale_values(X, matops.nnz_values(X) * 2.0)
+        np.testing.assert_allclose(
+            np.asarray(tiled_mm(Y, D)), (2 * Xd) @ np.asarray(D), rtol=3e-5, atol=4e-4
+        )
+
+
+def test_hybrid_solver_matches_bcoo():
+    from jax.experimental import sparse as jsparse
+    from nmf_tpu.ops.sparse_format import build_tiled
+
+    rng = np.random.default_rng(8)
+    p, n, k = 300, 260, 4
+    Xd = (rng.random((p, n)) * (rng.random((p, n)) < 0.05)).astype(np.float32)
+    Xd[:128, :128] = (
+        rng.random((128, 128)) * (rng.random((128, 128)) < 0.4)
+    ).astype(np.float32)
+    r, c = np.nonzero(Xd)
+    X = build_tiled(r, c, Xd[r, c], Xd.shape, stripe_tiles=2, dense_tile_nnz=200)
+    assert X.fwd.n_dblocks > 0
+    Xs = jsparse.BCOO.fromdense(jnp.asarray(Xd))
+    W0 = jnp.asarray(rng.random((p, k)).astype(np.float32))
+    H0 = jnp.asarray(rng.random((k, n)).astype(np.float32))
+    for alg in (
+        nmf_tpu.MultUpdate(obj="mse", maxiter=5),
+        nmf_tpu.MultUpdate(obj="div", maxiter=5),
+        nmf_tpu.CoordinateDescent(maxiter=5),
+    ):
+        a = nmf_tpu.solve(alg, Xs, W0, H0)
+        b = nmf_tpu.solve(alg, X, W0, H0)
+        assert b.niters == a.niters
+        np.testing.assert_allclose(np.asarray(b.W), np.asarray(a.W), rtol=2e-4, atol=1e-4)
+        assert np.isclose(b.objvalue, a.objvalue, rtol=1e-4)
