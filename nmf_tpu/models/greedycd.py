@@ -88,11 +88,25 @@ def _scores(w_row, G_row, denom, Pdiag, dt):
     return S, D
 
 
+# Lockstep-mitigation knobs (see docs/tpu_results.md "GreedyCD lockstep"):
+# the vmapped while_loop runs EVERY row for the slowest row's trip count.
+# Measured on the config4 problem (163k x 59k, k=128): per-sweep max trips are
+# 136-192 (the k^2 cap never binds) while the mean collapses to 3-9 after two
+# sweeps — ~40x wasted full-width VPU work.  So: run _PHASE1_STEPS masked
+# steps at full width (most rows finish), then gather the still-active rows
+# into a rows/_COMPACT_FRAC buffer and run the long tail there.  Per-row
+# arithmetic is identical (inactive rows add exact zeros), so results match
+# the plain loop bit-for-bit.
+_PHASE1_STEPS = 8
+_COMPACT_FRAC = 8
+_COMPACT_MIN_ROWS = 4096  # below this, compaction buys nothing
+
+
 def _halfstep(X, W, Ht, lam):
     """Update ``W`` (rows x k) holding the other factor ``Ht`` (cols x k)
     fixed — the reference's ``_update_GreedyCD!`` (src/greedycd.jl:94-166)."""
     dt = W.dtype
-    k = W.shape[1]
+    rows, k = W.shape
     epsT = jnp.asarray(_eps(dt), dt)
 
     P = Ht.T @ Ht  # (k, k)
@@ -110,7 +124,9 @@ def _halfstep(X, W, Ht, lam):
     threshold = nu * p_init
     max_inner = k * k
 
-    def row_solve(w_row, G_row, S_row, D_row, qi0):
+    def row_solve(w_row, c0: _RowCarry):
+        """Continue one row's greedy schedule from an existing carry."""
+
         def cond(c: _RowCarry):
             return jnp.logical_and(c.it < max_inner, c.D[c.qi] >= threshold)
 
@@ -121,12 +137,51 @@ def _halfstep(X, W, Ht, lam):
             S_new, D_new = _scores(w_row, G_new, denom, Pdiag, dt)
             return _RowCarry(delta, G_new, S_new, D_new, jnp.argmax(D_new), c.it + 1)
 
-        init = _RowCarry(
-            jnp.zeros((k,), dt), G_row, S_row, D_row, qi0, jnp.zeros((), jnp.int32)
-        )
-        return jax.lax.while_loop(cond, body, init).delta
+        return jax.lax.while_loop(cond, body, c0)
 
-    delta = jax.vmap(row_solve)(W, G, S, D, q0)
+    init = _RowCarry(
+        jnp.zeros((rows, k), dt), G, S, D, q0,
+        jnp.zeros((rows,), jnp.int32),
+    )
+
+    if rows < _COMPACT_MIN_ROWS:
+        delta = jax.vmap(row_solve)(W, init).delta
+        return projectnn(W + delta)
+
+    # phase 1: fixed masked full-width steps (inactive rows add exact zeros,
+    # so their carry — and every later recompute — is unchanged)
+    ar = jnp.arange(rows)
+
+    def masked_step(_, c: _RowCarry):
+        active = (c.it < max_inner) & (c.D[ar, c.qi] >= threshold)
+        step = jnp.where(active, c.S[ar, c.qi], jnp.zeros((), dt))
+        delta = c.delta.at[ar, c.qi].add(step)
+        G_new = c.G + step[:, None] * P[c.qi, :]
+        S_new, D_new = _scores(W, G_new, denom, Pdiag, dt)
+        return _RowCarry(
+            delta, G_new, S_new, D_new, jnp.argmax(D_new, axis=1),
+            c.it + active.astype(jnp.int32),
+        )
+
+    c1 = jax.lax.fori_loop(0, _PHASE1_STEPS, masked_step, init)
+
+    # phase 2: the long tail — compacted when the active set fits the buffer
+    active = (c1.it < max_inner) & (c1.D[ar, c1.qi] >= threshold)
+    cap = max(8, rows // _COMPACT_FRAC)
+    count = jnp.sum(active)
+
+    def compact_path(c: _RowCarry):
+        (idx,) = jnp.nonzero(active, size=cap, fill_value=rows)
+        safe = jnp.minimum(idx, rows - 1)
+        sub = jax.tree_util.tree_map(lambda a: a[safe], c)
+        out = jax.vmap(row_solve)(W[safe], sub)
+        # fill slots (idx == rows) are dropped by the out-of-bounds scatter
+        return c.delta.at[idx].set(out.delta, mode="drop")
+
+    def full_path(c: _RowCarry):
+        return jax.vmap(row_solve)(W, c).delta
+
+    delta = jax.lax.cond(count <= cap, compact_path, full_path, c1)
     # projectnn as a rounding-error countermeasure (src/greedycd.jl:164-165)
     return projectnn(W + delta)
 

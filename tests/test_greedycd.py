@@ -77,3 +77,27 @@ def test_greedycd_validation():
         M.GreedyCD(tol=0.0)
     with pytest.raises(ValueError):
         M.GreedyCD(lambda_w=-1.0)
+
+
+def test_compaction_path_matches_plain(monkeypatch):
+    """The phase-1 masked steps + compacted-tail execution is bit-identical
+    to the plain vmapped while_loop (same per-row arithmetic; inactive rows
+    add exact zeros)."""
+    import nmf_tpu.models.greedycd as gcd
+
+    rng = np.random.default_rng(11)
+    p, n, k = 600, 150, 5
+    Xd = np.abs(rng.random((p, k)) @ rng.random((k, n))).astype(np.float32)
+    X = jnp.asarray(Xd)
+    W0 = jnp.asarray(rng.random((p, k), dtype=np.float32))
+    H0 = jnp.asarray(rng.random((k, n), dtype=np.float32))
+
+    monkeypatch.setattr(gcd, "_COMPACT_MIN_ROWS", 1 << 30)
+    plain = M.solve(M.GreedyCD(maxiter=6), X, W0, H0)
+    monkeypatch.setattr(gcd, "_COMPACT_MIN_ROWS", 0)
+    fast = M.solve(M.GreedyCD(maxiter=6), X, W0, H0)
+
+    assert fast.niters == plain.niters
+    np.testing.assert_array_equal(np.asarray(fast.W), np.asarray(plain.W))
+    np.testing.assert_array_equal(np.asarray(fast.H), np.asarray(plain.H))
+    assert fast.objvalue == plain.objvalue
