@@ -73,21 +73,52 @@ def _projgradnorm(G, Y):
     return jnp.sqrt(jnp.sum(g2))
 
 
-def _line_search(AtA, Y, G, alpha, traceiter, beta, sigma):
-    """The adaptive backtracking line search (src/alspgrad.jl:138-178).
-    Returns (Y, alpha, backtracks).
+def _ls_trial(Y, Yp, G, alpha, decr, first, Yn, D, M, beta, sigma):
+    """ONE backtracking trial of the adaptive line search
+    (src/alspgrad.jl:138-178), shared by the nested ``_line_search`` (verbose
+    host path) and the trial phase of ``_pg_subsolve``'s flat while_loop —
+    the single copy of the accept/adapt math.
 
-    NOTE: the trial-step math here (Yn/D/dv1/dv2/suff_decr/accept logic) is
-    duplicated in the trial phase of ``_pg_subsolve``'s flat while_loop body —
-    any semantic change must be applied to BOTH (test_alspgrad.py pins their
-    equality)."""
+    ``Y`` is the base iterate the search started from, ``Yn = max(Y -
+    alpha*G, 0)`` the candidate, ``D = Yn - Y`` and ``M = AtA @ D`` are
+    computed by the caller (the flat body shares that matmul with its
+    gradient phase).  Returns ``(Y_out, Yp_next, alpha_next, decr_out,
+    done)``."""
     dt = Y.dtype
-    zero = jnp.zeros((), dt)
     epsT = jnp.asarray(_eps(dt), dt)
     # Growing alpha unchecked can overflow to inf (the reference errors via
     # isfinite(alpha), src/alspgrad.jl:143); clamp so max(Y - alpha*G, 0)
     # never produces NaN where G == 0.
     alpha_cap = jnp.asarray(jnp.finfo(dt).max / 2, dt)
+    dv1 = jnp.vdot(G, D)
+    dv2 = jnp.vdot(M, D)
+    suff_decr = (1 - sigma) * dv1 + jnp.asarray(0.5, dt) * dv2 < 0
+    # First trial decides the direction and snapshots Yp <- Y (:157-160).
+    decr = jnp.where(first, ~suff_decr, decr)
+    Yp_eff = jnp.where(first, Y, Yp)
+    # Frobenius isapprox(Yp, Yn, atol=eps(T)) (src/alspgrad.jl:169).
+    close = jnp.linalg.norm(Yp_eff - Yn) <= epsT
+    take_n = decr & suff_decr  # shrink branch accepts Yn
+    take_p = (~decr) & ((~suff_decr) | close)  # grow branch accepts Yp
+    done = take_n | take_p
+    Y_out = jnp.where(take_n, Yn, jnp.where(take_p, Yp_eff, Y))
+    alpha_next = jnp.where(
+        done,
+        alpha,
+        jnp.where(decr, alpha * beta, jnp.minimum(alpha / beta, alpha_cap)),
+    )
+    # Growing and not done: remember this candidate (Yp <- Yn).
+    Yp_next = jnp.where(done | decr, Yp_eff, Yn)
+    return Y_out, Yp_next, alpha_next, decr, done
+
+
+def _line_search(AtA, Y, G, alpha, traceiter, beta, sigma):
+    """The adaptive backtracking line search (src/alspgrad.jl:138-178) as a
+    nested while_loop over :func:`_ls_trial`.  Returns (Y, alpha,
+    backtracks).  Used by the host-driven verbose path; the jitted solve path
+    runs the same trial math inside ``_pg_subsolve``'s flat loop."""
+    dt = Y.dtype
+    zero = jnp.zeros((), dt)
 
     def cond(s: _LSCarry):
         return jnp.logical_and(~s.done, s.it < traceiter)
@@ -97,26 +128,9 @@ def _line_search(AtA, Y, G, alpha, traceiter, beta, sigma):
         first = it == 1
         Yn = jnp.maximum(Y - s.alpha * G, zero)
         D = Yn - Y
-        dv1 = jnp.vdot(G, D)
-        dv2 = jnp.vdot(AtA @ D, D)
-        suff_decr = (1 - sigma) * dv1 + jnp.asarray(0.5, dt) * dv2 < 0
-        # First trial decides the direction and snapshots Yp <- Y
-        # (src/alspgrad.jl:157-160).
-        decr = jnp.where(first, ~suff_decr, s.decr)
-        Yp_eff = jnp.where(first, Y, s.Yp)
-        # Frobenius isapprox(Yp, Yn, atol=eps(T)) (src/alspgrad.jl:169).
-        close = jnp.linalg.norm(Yp_eff - Yn) <= epsT
-        take_n = decr & suff_decr  # shrink branch accepts Yn
-        take_p = (~decr) & ((~suff_decr) | close)  # grow branch accepts Yp
-        done = take_n | take_p
-        Y_out = jnp.where(take_n, Yn, jnp.where(take_p, Yp_eff, s.Y))
-        alpha_next = jnp.where(
-            done,
-            s.alpha,
-            jnp.where(decr, s.alpha * beta, jnp.minimum(s.alpha / beta, alpha_cap)),
+        Y_out, Yp_next, alpha_next, decr, done = _ls_trial(
+            Y, s.Yp, G, s.alpha, s.decr, first, Yn, D, AtA @ D, beta, sigma
         )
-        # Growing and not done: remember this candidate (Yp <- Yn).
-        Yp_next = jnp.where(done | decr, Yp_eff, Yn)
         return _LSCarry(Y_out, Yp_next, alpha_next, decr, it, done)
 
     init = _LSCarry(
@@ -176,12 +190,9 @@ def _pg_subsolve(AtA, AtB, Y0, maxiter, traceiter, tolg, beta, sigma):
     """
     dt = Y0.dtype
     zero = jnp.zeros((), dt)
-    half = jnp.asarray(0.5, dt)
-    epsT = jnp.asarray(_eps(dt), dt)
     beta = jnp.asarray(beta, dt)
     sigma = jnp.asarray(sigma, dt)
     tolg = jnp.asarray(tolg, dt)
-    alpha_cap = jnp.asarray(jnp.finfo(dt).max / 2, dt)  # see _line_search
 
     def cond(c: _FlatCarry):
         return jnp.logical_and(~c.converged, (c.ls_it > 0) | (c.t < maxiter))
@@ -200,33 +211,16 @@ def _pg_subsolve(AtA, AtB, Y0, maxiter, traceiter, tolg, beta, sigma):
         pgnrm = _projgradnorm(G_new, c.Y)
         conv = pgnrm < tolg
 
-        # --- trial phase: one backtracking step (src/alspgrad.jl:138-178).
-        # This duplicates the trial-step math of ``_line_search`` (used by the
-        # verbose host path); keep the two in sync — test_alspgrad.py pins
-        # their equality. ---
+        # --- trial phase: one backtracking step, the shared _ls_trial math
+        # (M = AtA @ D in this phase) ---
         it = c.ls_it
         first = it == 1
-        dv1 = jnp.vdot(c.G, D)
-        dv2 = jnp.vdot(M, D)  # M = AtA @ D in this phase
-        suff_decr = (1 - sigma) * dv1 + half * dv2 < 0
-        # First trial decides the direction and snapshots Yp <- Y (:157-160).
-        decr = jnp.where(first, ~suff_decr, c.decr)
-        Yp_eff = jnp.where(first, c.Y, c.Yp)
-        # Frobenius isapprox(Yp, Yn, atol=eps(T)) (:169).
-        close = jnp.linalg.norm(Yp_eff - Yn) <= epsT
-        take_n = decr & suff_decr  # shrink branch accepts Yn
-        take_p = (~decr) & ((~suff_decr) | close)  # grow branch accepts Yp
-        done = take_n | take_p
-        exhausted = (~done) & (it >= traceiter)
-        Y_trial = jnp.where(take_n, Yn, jnp.where(take_p, Yp_eff, c.Y))
-        # Alpha keeps its last adaptation even when trials run out (:161-176).
-        alpha_trial = jnp.where(
-            done,
-            c.alpha,
-            jnp.where(decr, c.alpha * beta, jnp.minimum(c.alpha / beta, alpha_cap)),
+        Y_trial, Yp_trial, alpha_trial, decr, done = _ls_trial(
+            c.Y, c.Yp, c.G, c.alpha, c.decr, first, Yn, D, M, beta, sigma
         )
-        # Growing and not done: remember this candidate (Yp <- Yn).
-        Yp_trial = jnp.where(done | decr, Yp_eff, Yn)
+        # Alpha keeps its last adaptation even when trials run out
+        # (src/alspgrad.jl:161-176).
+        exhausted = (~done) & (it >= traceiter)
 
         return _FlatCarry(
             Y=jnp.where(is_grad, c.Y, Y_trial),

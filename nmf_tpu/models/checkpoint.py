@@ -35,7 +35,13 @@ import numpy as np
 
 from .common import Result, _impl_for, _objective, _solve_while_from
 
-__all__ = ["solve_checkpointed", "save_state", "load_state", "latest_checkpoint"]
+__all__ = [
+    "solve_checkpointed",
+    "save_state",
+    "load_state",
+    "latest_checkpoint",
+    "agreed_checkpoint",
+]
 
 _STEP_RE = re.compile(r"ckpt_(\d+)\.proc(\d+)\.npz$")
 
@@ -116,19 +122,59 @@ def load_state(path: str, template):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-def latest_checkpoint(directory: str) -> tuple[str, int] | None:
-    """Latest (path, step) for THIS process's checkpoint files."""
+def _local_steps(directory: str) -> list[int]:
+    """Sorted checkpoint steps available in THIS process's files."""
     if not os.path.isdir(directory):
-        return None
+        return []
     pid = jax.process_index()
-    best = None
+    steps = []
     for name in os.listdir(directory):
         m = _STEP_RE.match(name)
         if m and int(m.group(2)) == pid:
-            step = int(m.group(1))
-            if best is None or step > best[1]:
-                best = (os.path.join(directory, name), step)
-    return best
+            steps.append(int(m.group(1)))
+    return sorted(steps)
+
+
+def latest_checkpoint(directory: str) -> tuple[str, int] | None:
+    """Latest (path, step) for THIS process's checkpoint files."""
+    steps = _local_steps(directory)
+    if not steps:
+        return None
+    pid = jax.process_index()
+    step = steps[-1]
+    return os.path.join(directory, f"ckpt_{step}.proc{pid}.npz"), step
+
+
+def _common_latest(steps_by_process: list[list[int]]) -> int | None:
+    """Largest step present on EVERY process (None if there is none)."""
+    sets = [set(s) for s in steps_by_process]
+    common = set.intersection(*sets) if sets else set()
+    return max(common) if common else None
+
+
+_AGREE_PAD = 128  # max per-process steps exchanged during agreement
+
+
+def agreed_checkpoint(directory: str) -> tuple[str, int] | None:
+    """Multi-host-safe resume point: the largest step present on **every**
+    process.  A crash between one process's ``save_state`` and another's
+    leaves processes with different latest steps; resuming each from its own
+    latest would desynchronize the jitted collective programs (hang or
+    corrupt factors), so all processes must agree first.  Single-process:
+    same as :func:`latest_checkpoint`."""
+    steps = _local_steps(directory)
+    if jax.process_count() == 1:
+        return latest_checkpoint(directory)
+    from jax.experimental import multihost_utils
+
+    vec = np.full((_AGREE_PAD,), -1, np.int64)
+    vec[: min(len(steps), _AGREE_PAD)] = steps[-_AGREE_PAD:]
+    allv = np.asarray(multihost_utils.process_allgather(vec))
+    step = _common_latest([[int(s) for s in row if s >= 0] for row in allv])
+    if step is None:
+        return None
+    pid = jax.process_index()
+    return os.path.join(directory, f"ckpt_{step}.proc{pid}.npz"), step
 
 
 def solve_checkpointed(
@@ -147,36 +193,47 @@ def solve_checkpointed(
     to the usual floating-point reproducibility).  The objective is computed
     once, on the final factors — checkpoint chunks skip it, matching the
     reference's evaluate-at-the-end contract (src/common.jl:85-87)."""
+    from .. import config
+
     upd, tol = alg._resolved(W.dtype)
     impl = _impl_for(upd)
     maxiter = alg.maxiter
     tol = jnp.asarray(tol, W.dtype)
 
-    state = impl.prepare(upd, X, W, H)
-    t = 0
-    template = (W, H, state, jnp.zeros((), jnp.int32))
-    resume = latest_checkpoint(checkpoint_dir)
-    if resume is not None:
-        W, H, state, t_arr = load_state(resume[0], template)
-        t = int(t_arr)
+    # same matmul-precision scope as an uninterrupted solve (nmf_skeleton)
+    with config.precision_scope(config.solver_precision(upd)):
+        state = impl.prepare(upd, X, W, H)
+        t = 0
+        template = (W, H, state, jnp.zeros((), jnp.int32))
+        # multi-host: resume from the largest step present on EVERY process
+        resume = agreed_checkpoint(checkpoint_dir)
+        if resume is not None:
+            W, H, state, t_arr = load_state(resume[0], template)
+            t = int(t_arr)
+            # drop stale later steps some processes may hold from a partial
+            # save (they would poison a later agreement round)
+            _prune_above(checkpoint_dir, t)
 
-    converged = False
-    while t < maxiter and not converged:
-        chunk_end = min(t + checkpoint_every, maxiter)
-        W, H, state, t_arr, converged_a, _ = _solve_while_from(
-            upd, state, X, W, H, t, chunk_end, tol, with_objective=False
-        )
-        t = int(t_arr)
-        converged = bool(converged_a)
-        save_state(checkpoint_dir, t, (W, H, state, t_arr))
-        _prune(checkpoint_dir, keep)
+        converged = False
+        while t < maxiter and not converged:
+            chunk_end = min(t + checkpoint_every, maxiter)
+            W, H, state, t_arr, converged_a, _ = _solve_while_from(
+                upd, state, X, W, H, t, chunk_end, tol, with_objective=False
+            )
+            t = int(t_arr)
+            converged = bool(converged_a)
+            save_state(checkpoint_dir, t, (W, H, state, t_arr))
+            _prune(checkpoint_dir, keep)
 
-    objv = float(_objective(upd, state, X, W, H))
+        objv = float(_objective(upd, state, X, W, H))
     return Result(W, H, t, converged, objv)
 
 
 def _prune(directory: str, keep: int):
-    """Keep the newest ``keep`` steps of THIS process's files."""
+    """Keep the newest ``keep`` steps of THIS process's files.  Multi-host
+    runs should use ``keep >= 2``: processes save in lockstep (one chunk
+    apart at most across a crash), so retaining the previous step guarantees
+    a common resume point survives pruning."""
     pid = jax.process_index()
     entries = []
     for name in os.listdir(directory):
@@ -189,3 +246,15 @@ def _prune(directory: str, keep: int):
             os.remove(os.path.join(directory, name))
         except OSError:
             pass
+
+
+def _prune_above(directory: str, step: int):
+    """Remove THIS process's checkpoint files with a step beyond ``step``."""
+    pid = jax.process_index()
+    for name in os.listdir(directory):
+        m = _STEP_RE.match(name)
+        if m and int(m.group(2)) == pid and int(m.group(1)) > step:
+            try:
+                os.remove(os.path.join(directory, name))
+            except OSError:
+                pass

@@ -92,13 +92,18 @@ def _scores(w_row, G_row, denom, Pdiag, dt):
 # the vmapped while_loop runs EVERY row for the slowest row's trip count.
 # Measured on the config4 problem (163k x 59k, k=128): per-sweep max trips are
 # 136-192 (the k^2 cap never binds) while the mean collapses to 3-9 after two
-# sweeps — ~40x wasted full-width VPU work.  So: run _PHASE1_STEPS masked
-# steps at full width (most rows finish), then gather the still-active rows
-# into a rows/_COMPACT_FRAC buffer and run the long tail there.  Per-row
-# arithmetic is identical (inactive rows add exact zeros), so results match
-# the plain loop bit-for-bit.
-_PHASE1_STEPS = 8
-_COMPACT_FRAC = 8
+# sweeps — ~40x wasted full-width VPU work.  Fix: an adaptive *compaction
+# cascade*.  Masked full-width steps run only while the active-row count
+# exceeds the next (1/_CASCADE_SHRINK-sized) buffer; then the still-active
+# rows are gathered into that buffer and the loop continues there, shrinking
+# again as rows finish, down to _CASCADE_MIN rows.  The schedule adapts to
+# the data: early sweeps (everyone needs ~150 trips) stay at full width,
+# late sweeps (mean ~3, max ~136) collapse to a tiny buffer after a few
+# steps.  Per-row arithmetic is identical (inactive rows add exact zeros,
+# so their carry is a fixed point of the masked step), hence results match
+# the plain vmapped loop bit-for-bit.
+_CASCADE_SHRINK = 4
+_CASCADE_MIN = 1024
 _COMPACT_MIN_ROWS = 4096  # below this, compaction buys nothing
 
 
@@ -148,42 +153,77 @@ def _halfstep(X, W, Ht, lam):
         delta = jax.vmap(row_solve)(W, init).delta
         return projectnn(W + delta)
 
-    # phase 1: fixed masked full-width steps (inactive rows add exact zeros,
-    # so their carry — and every later recompute — is unchanged)
-    ar = jnp.arange(rows)
+    def masked_machinery(Wsub):
+        """Masked full-width step over a buffer of rows (carry shapes match
+        ``Wsub``).  Inactive rows add exact zeros: delta and G are unchanged,
+        so the recomputed S/D/qi — and therefore the whole carry — are a
+        fixed point; every row follows exactly the reference's schedule."""
+        nr = Wsub.shape[0]
+        ar = jnp.arange(nr)
 
-    def masked_step(_, c: _RowCarry):
-        active = (c.it < max_inner) & (c.D[ar, c.qi] >= threshold)
-        step = jnp.where(active, c.S[ar, c.qi], jnp.zeros((), dt))
-        delta = c.delta.at[ar, c.qi].add(step)
-        G_new = c.G + step[:, None] * P[c.qi, :]
-        S_new, D_new = _scores(W, G_new, denom, Pdiag, dt)
-        return _RowCarry(
-            delta, G_new, S_new, D_new, jnp.argmax(D_new, axis=1),
-            c.it + active.astype(jnp.int32),
+        def active_mask(c: _RowCarry):
+            return (c.it < max_inner) & (c.D[ar, c.qi] >= threshold)
+
+        def step(c: _RowCarry):
+            active = active_mask(c)
+            sv = jnp.where(active, c.S[ar, c.qi], jnp.zeros((), dt))
+            delta = c.delta.at[ar, c.qi].add(sv)
+            G_new = c.G + sv[:, None] * P[c.qi, :]
+            S_new, D_new = _scores(Wsub, G_new, denom, Pdiag, dt)
+            return _RowCarry(
+                delta, G_new, S_new, D_new, jnp.argmax(D_new, axis=1),
+                c.it + active.astype(jnp.int32),
+            )
+
+        return active_mask, step
+
+    # Static buffer sizes: rows, rows/4, rows/16, ..., down to _CASCADE_MIN.
+    caps = []
+    cur = rows
+    while cur // _CASCADE_SHRINK >= _CASCADE_MIN:
+        cur = cur // _CASCADE_SHRINK
+        caps.append(cur)
+
+    delta_full = jnp.zeros((rows, k), dt)
+    idx = None  # level-0 buffer is the identity mapping
+    carry = init
+    Wsub = W
+    for next_cap in caps:
+        active_mask, step = masked_machinery(Wsub)
+
+        def level_cond(c, am=active_mask, nc=next_cap):
+            return jnp.sum(am(c)) > nc
+
+        carry = jax.lax.while_loop(level_cond, step, carry)
+        # checkpoint this level's deltas (rows finishing here keep them);
+        # fill slots carry idx == rows and are dropped by the OOB scatter
+        if idx is None:
+            delta_full = carry.delta
+        else:
+            delta_full = delta_full.at[idx].set(carry.delta, mode="drop")
+        # compact the still-active rows into the next (smaller) buffer
+        act = active_mask(carry)
+        nr = Wsub.shape[0]
+        (loc,) = jnp.nonzero(act, size=next_cap, fill_value=nr)
+        fill = loc >= nr
+        safe = jnp.minimum(loc, nr - 1)
+        carry = jax.tree_util.tree_map(lambda a: a[safe], carry)
+        # freeze fill slots (duplicate a real row's carry but never step)
+        carry = carry._replace(
+            it=jnp.where(fill, jnp.asarray(max_inner, jnp.int32), carry.it)
         )
+        idx = jnp.where(fill, rows, loc if idx is None else idx[safe])
+        Wsub = W[jnp.minimum(idx, rows - 1)]
 
-    c1 = jax.lax.fori_loop(0, _PHASE1_STEPS, masked_step, init)
-
-    # phase 2: the long tail — compacted when the active set fits the buffer
-    active = (c1.it < max_inner) & (c1.D[ar, c1.qi] >= threshold)
-    cap = max(8, rows // _COMPACT_FRAC)
-    count = jnp.sum(active)
-
-    def compact_path(c: _RowCarry):
-        (idx,) = jnp.nonzero(active, size=cap, fill_value=rows)
-        safe = jnp.minimum(idx, rows - 1)
-        sub = jax.tree_util.tree_map(lambda a: a[safe], c)
-        out = jax.vmap(row_solve)(W[safe], sub)
-        # fill slots (idx == rows) are dropped by the out-of-bounds scatter
-        return c.delta.at[idx].set(out.delta, mode="drop")
-
-    def full_path(c: _RowCarry):
-        return jax.vmap(row_solve)(W, c).delta
-
-    delta = jax.lax.cond(count <= cap, compact_path, full_path, c1)
+    # final (smallest) level: run until every row is finished
+    active_mask, step = masked_machinery(Wsub)
+    carry = jax.lax.while_loop(lambda c: jnp.any(active_mask(c)), step, carry)
+    if idx is None:
+        delta_full = carry.delta
+    else:
+        delta_full = delta_full.at[idx].set(carry.delta, mode="drop")
     # projectnn as a rounding-error countermeasure (src/greedycd.jl:164-165)
-    return projectnn(W + delta)
+    return projectnn(W + delta_full)
 
 
 def _prepare(upd: GreedyCD, X, W, H):

@@ -190,6 +190,9 @@ def solve_replicates(
     if replicates == 1:
         return ret
 
+    # Both restart paths draw their init keys the same way
+    # (``split(key, replicates - 1)``), so the vmapped batch solves exactly
+    # the restarts the sequential loop would (tests pin the equivalence).
     if parallel and replicates > 1 and hasattr(alginst, "_solve"):
         from .replicates import solve_replicates_vmapped
 
@@ -202,8 +205,7 @@ def solve_replicates(
             return ret
 
     minobjv = ret.objvalue
-    for r in range(1, replicates):
-        key, sub = jax.random.split(key)
+    for sub in jax.random.split(key, replicates - 1):
         Wr, Hr = randinit(X, k, zeroh=not initH, normalize=True, key=sub)
         if mesh is not None:
             from ..parallel.sharding import shard_problem

@@ -272,6 +272,13 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
     n_rowpanels = -(-p // TILE)
     n_colpanels = -(-n // TILE)
     stripe_tiles = min(stripe_tiles, n_rowpanels)
+    if stripe_tiles > 256:
+        # row panels are byte-packed 4-per-int32 for the kernel's SMEM
+        # scalar-prefetch operand; rp values must fit one byte
+        raise ValueError(
+            f"stripe_tiles (clamped to {stripe_tiles}) must be <= 256 for the "
+            "packed row-panel encoding"
+        )
     n_stripes = -(-n_rowpanels // stripe_tiles)
 
     rp = rows // TILE

@@ -341,7 +341,7 @@ def _local_matmul_jnp(side_meta, lrows, lcols, vals, Dt_local):
 
 @partial(jax.jit, static_argnames=("mesh", "precision", "transposed"))
 def _sharded_matmul(X: ShardedTiled, D, mesh, precision="exact", transposed=False):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     side = X.bwd if transposed else X.fwd
     axis_out, axis_red = (COLS, ROWS) if transposed else (ROWS, COLS)
@@ -373,7 +373,7 @@ def _sharded_matmul(X: ShardedTiled, D, mesh, precision="exact", transposed=Fals
         mesh=mesh,
         in_specs=in_specs,
         out_specs=out_spec,
-        check_rep=False,
+        check_vma=False,
     )(side.lrows, side.lcols, side.vals, Dp)
     # out: (R or C, K, stripes_rows_pad); each device block covers exactly
     # local_rows global rows — drop the per-device stripe padding before
@@ -432,7 +432,7 @@ def _panel_offsets(side: _ShardedSide, nt: int):
 
 @partial(jax.jit, static_argnames=("mesh",))
 def _sharded_sddmm_impl(X: ShardedTiled, W, H, mesh):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     side = X.fwd
     R, C = X.mesh_shape
@@ -462,7 +462,7 @@ def _sharded_sddmm_impl(X: ShardedTiled, W, H, mesh):
             P(COLS, None),
         ),
         out_specs=P(ROWS, COLS, None, None),
-        check_rep=False,
+        check_vma=False,
     )(side.lrows, side.lcols, Wp, Htp)
 
 
@@ -478,7 +478,7 @@ def sharded_sddmm(X: ShardedTiled, W, H, mesh=None):
 
 @partial(jax.jit, static_argnames=("mesh",))
 def _propagate_bwd(X: ShardedTiled, new_fwd_vals, mesh):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     ntb = X.bwd.lrows.shape[2]
 
@@ -492,24 +492,29 @@ def _propagate_bwd(X: ShardedTiled, new_fwd_vals, mesh):
         mesh=mesh,
         in_specs=(P(ROWS, COLS, None, None), P(COLS, ROWS, None)),
         out_specs=P(COLS, ROWS, None, None),
-        check_rep=False,
+        check_vma=False,
     )(new_fwd_vals, X.b2f)
 
 
 def sharded_scale_values(X: ShardedTiled, new_values, mesh=None) -> ShardedTiled:
     """Same pattern, new values (fwd chunk-slot layout).  The bwd orientation
     is refreshed by one local gather per device through ``b2f``.  ``stats``
-    are kept as built (they describe the *original* values; derived matrices
-    like the divergence quotient never consult them)."""
+    are recomputed from the new values so ``matops.sq_norm``/``mean``/
+    ``all_nonneg`` stay correct on the rescaled matrix (padding slots hold
+    exactly 0, so sum/sumsq are unaffected and ``min >= 0`` keeps the same
+    truth value as over the real nonzeros)."""
     mesh = mesh or X.mesh
     if X.b2f is None:
         raise ValueError("ShardedTiled built without b2f; rebuild with shard_tiled().")
     new_values = new_values.astype(X.fwd.vals.dtype)
     bwd_vals = _propagate_bwd(X, new_values, mesh)
+    v32 = new_values.astype(jnp.float32)
+    stats = jnp.stack([jnp.sum(v32), jnp.sum(v32 * v32), jnp.min(v32)])
     return dataclasses.replace(
         X,
         fwd=dataclasses.replace(X.fwd, vals=new_values),
         bwd=dataclasses.replace(X.bwd, vals=bwd_vals),
+        stats=stats,
     )
 
 
@@ -521,7 +526,7 @@ def sharded_nnz_values(X: ShardedTiled):
 
 @partial(jax.jit, static_argnames=("mesh", "which"))
 def _sharded_ids_impl(X: ShardedTiled, mesh, which: str):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     side = X.fwd
     nt = side.lrows.shape[2]
@@ -541,7 +546,7 @@ def _sharded_ids_impl(X: ShardedTiled, mesh, which: str):
         mesh=mesh,
         in_specs=(P(ROWS, COLS, None, None), P(ROWS, COLS, None, None)),
         out_specs=P(ROWS, COLS, None, None),
-        check_rep=False,
+        check_vma=False,
     )(side.lrows, side.lcols)
 
 

@@ -56,6 +56,26 @@ def test_resume_after_interruption(tmp_path):
     assert np.isclose(resumed.objvalue, plain.objvalue, rtol=1e-12)
 
 
+def test_step_agreement_logic(tmp_path):
+    """Multi-host resume picks the largest step present on EVERY process;
+    single-process agreed_checkpoint == latest_checkpoint."""
+    from nmf_tpu.models.checkpoint import _common_latest, agreed_checkpoint
+
+    # pure agreement logic (exercised across real processes in
+    # test_multihost.py::test_two_process_checkpoint_resume)
+    assert _common_latest([[5, 10], [5]]) == 5
+    assert _common_latest([[5, 10, 15], [10, 15], [5, 15]]) == 15
+    assert _common_latest([[10], [5]]) is None
+    assert _common_latest([]) is None
+
+    X, W, H = make_problem()
+    alg = nmf_tpu.MultUpdate(obj="mse", maxiter=10, tol=1e-12)
+    ckdir = str(tmp_path / "ck")
+    solve_checkpointed(alg, X, W, H, checkpoint_dir=ckdir, checkpoint_every=5)
+    assert agreed_checkpoint(ckdir) == latest_checkpoint(ckdir)
+    assert agreed_checkpoint(str(tmp_path / "none")) is None
+
+
 def test_trace_history():
     X, W, H = make_problem()
     alg = nmf_tpu.MultUpdate(obj="mse", maxiter=30, tol=1e-9)

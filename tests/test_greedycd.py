@@ -79,10 +79,11 @@ def test_greedycd_validation():
         M.GreedyCD(lambda_w=-1.0)
 
 
-def test_compaction_path_matches_plain(monkeypatch):
-    """The phase-1 masked steps + compacted-tail execution is bit-identical
-    to the plain vmapped while_loop (same per-row arithmetic; inactive rows
-    add exact zeros)."""
+def test_compaction_cascade_matches_plain(monkeypatch):
+    """The adaptive compaction-cascade execution (masked steps + repeated
+    shrink-by-4 gathers of the active rows) is bit-identical to the plain
+    vmapped while_loop (same per-row arithmetic; inactive rows add exact
+    zeros).  _CASCADE_MIN is shrunk so multiple levels actually run."""
     import nmf_tpu.models.greedycd as gcd
 
     rng = np.random.default_rng(11)
@@ -92,10 +93,18 @@ def test_compaction_path_matches_plain(monkeypatch):
     W0 = jnp.asarray(rng.random((p, k), dtype=np.float32))
     H0 = jnp.asarray(rng.random((k, n), dtype=np.float32))
 
+    import jax
+
+    # the knobs are baked in at trace time and do not enter the jit cache
+    # key, so the cache must be dropped between the two variants
     monkeypatch.setattr(gcd, "_COMPACT_MIN_ROWS", 1 << 30)
+    jax.clear_caches()
     plain = M.solve(M.GreedyCD(maxiter=6), X, W0, H0)
     monkeypatch.setattr(gcd, "_COMPACT_MIN_ROWS", 0)
+    monkeypatch.setattr(gcd, "_CASCADE_MIN", 16)
+    jax.clear_caches()
     fast = M.solve(M.GreedyCD(maxiter=6), X, W0, H0)
+    jax.clear_caches()  # do not leak knob-baked traces to other tests
 
     assert fast.niters == plain.niters
     np.testing.assert_array_equal(np.asarray(fast.W), np.asarray(plain.W))

@@ -61,15 +61,23 @@ def test_replicates_keeps_best():
 
 
 def test_parallel_replicates():
+    """Vmapped restarts draw the same init keys as the sequential loop
+    (``split(key, replicates-1)``), so the best-of Result must agree."""
     X, _, _ = make_problem(np.float64)
     seq = M.nnmf(jnp.asarray(X), 3, replicates=6, maxiter=10, alg="multmse", seed=3)
     par = M.nnmf(
         jnp.asarray(X), 3, replicates=6, maxiter=10, alg="multmse", seed=3,
         parallel_replicates=True,
     )
-    # different RNG streams, but both must return a valid minimized result
-    assert np.isfinite(par.objvalue)
-    assert par.W.shape == seq.W.shape
+    assert par.niters == seq.niters
+    assert par.converged == seq.converged
+    np.testing.assert_allclose(par.objvalue, seq.objvalue, rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(par.W), np.asarray(seq.W), rtol=1e-10, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(par.H), np.asarray(seq.H), rtol=1e-10, atol=1e-12
+    )
 
 
 def test_spa_alg():

@@ -288,7 +288,18 @@ plain = nmf_tpu.solve(alg, X, W, H)
 partial = nmf_tpu.MultUpdate(obj="mse", maxiter=10, tol=1e-12)
 solve_checkpointed(partial, X, W, H, checkpoint_dir=ckdir, checkpoint_every=5)
 assert latest_checkpoint(ckdir)[1] == 10
+
+# simulate a crash BETWEEN the two processes' saves: process 0 lost its
+# step-10 file, so the processes' latest steps disagree (10 vs 5).  The
+# agreement protocol must resume BOTH from step 5 (the largest step present
+# on every process) — per-process latest would desynchronize the collectives.
+from nmf_tpu.models.checkpoint import agreed_checkpoint
+if jax.process_index() == 0:
+    os.remove(os.path.join(ckdir, "ckpt_10.proc0.npz"))
+ag = agreed_checkpoint(ckdir)
+assert ag is not None and ag[1] == 5, ag
 res = solve_checkpointed(alg, X, W, H, checkpoint_dir=ckdir, checkpoint_every=5)
+assert latest_checkpoint(ckdir)[1] == 20
 
 def shards_equal(a, b):
     def key(s, shape):

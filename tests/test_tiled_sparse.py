@@ -217,3 +217,59 @@ def test_hybrid_solver_matches_bcoo():
         assert b.niters == a.niters
         np.testing.assert_allclose(np.asarray(b.W), np.asarray(a.W), rtol=2e-4, atol=1e-4)
         assert np.isclose(b.objvalue, a.objvalue, rtol=1e-4)
+
+@pytest.mark.parametrize("tail_span", [2, 4])
+def test_wide_tail_tiles_match_dense(tail_span):
+    """tail_span > 1 (128 x span*128 wide chunk tiles for ultra-sparse
+    residuals): mm/mtm/sddmm and value refreshes agree with dense math,
+    with and without a dense head (ADVICE r2: this shipped build option
+    previously had no suite coverage)."""
+    from nmf_tpu.ops.pallas.sparse import tiled_mm, tiled_mtm, tiled_sddmm
+    from nmf_tpu.ops.sparse_format import build_tiled
+
+    rng = np.random.default_rng(17)
+    p, n, k = 700, 520, 9
+    Xd = (rng.random((p, n)) * (rng.random((p, n)) < 0.008)).astype(np.float32)
+    Xd[:200, :256] = (
+        rng.random((200, 256)) * (rng.random((200, 256)) < 0.5)
+    ).astype(np.float32)
+    r, c = np.nonzero(Xd)
+    for dense_tile_nnz in (None, 256):
+        X = build_tiled(
+            r, c, Xd[r, c], Xd.shape, stripe_tiles=3, group=8, order="degree",
+            dense_tile_nnz=dense_tile_nnz, tail_span=tail_span,
+        )
+        if dense_tile_nnz:
+            assert X.fwd.n_dblocks > 0
+        D = jnp.asarray(rng.random((n, k)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(tiled_mm(X, D)), Xd @ np.asarray(D), rtol=3e-5, atol=2e-4
+        )
+        D2 = jnp.asarray(rng.random((p, k)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(tiled_mtm(X, D2)), Xd.T @ np.asarray(D2), rtol=3e-5, atol=2e-4
+        )
+        W = jnp.asarray(rng.random((p, k)).astype(np.float32))
+        H = jnp.asarray(rng.random((k, n)).astype(np.float32))
+        got = np.asarray(tiled_sddmm(X, W, H))
+        ref = (np.asarray(W) @ np.asarray(H))[
+            np.asarray(X.row_idx), np.asarray(X.col_idx)
+        ]
+        np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-4)
+        Y = matops.scale_values(X, matops.nnz_values(X) * 2.0)
+        np.testing.assert_allclose(
+            np.asarray(tiled_mm(Y, D)), (2 * Xd) @ np.asarray(D), rtol=3e-5, atol=4e-4
+        )
+
+
+def test_stripe_tiles_packing_guard():
+    """stripe_tiles beyond the byte-packed row-panel range must raise, not
+    silently corrupt kernel output (ADVICE r2)."""
+    from nmf_tpu.ops.sparse_format import TILE, _build_side_compact
+
+    p = 300 * TILE  # 300 row panels
+    rows = np.arange(0, p, TILE, dtype=np.int32)
+    cols = np.zeros_like(rows)
+    vals = np.ones(len(rows), np.float32)
+    with pytest.raises(ValueError, match="stripe_tiles"):
+        _build_side_compact(rows, cols, vals, p, 128, 300, 8)
