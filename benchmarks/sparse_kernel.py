@@ -58,6 +58,8 @@ def main():
     ap.add_argument("--groups", default="8")
     ap.add_argument("--dense", default="0", help="comma list of dense_tile_nnz thresholds (0=off)")
     ap.add_argument("--spans", default="1", help="comma list of tail_span values")
+    ap.add_argument("--quads", default="0",
+                    help="comma list of quad_tail_nnz values (0=off)")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--small", type=int, default=2)
     args = ap.parse_args()
@@ -151,24 +153,37 @@ def main():
             for g in [int(x) for x in args.groups.split(",")]:
                 for dn in [int(x) for x in args.dense.split(",")]:
                     for span in [int(x) for x in args.spans.split(",")]:
-                        Xc = build_tiled(
-                            rows, cols, vals, (args.p, args.n), layout="compact",
-                            group=g, dense_tile_nnz=dn or None, tail_span=span,
-                        )
-                        pad = Xc.fwd.vals.size / max(nnz, 1)
-                        extra = {"precision": prec, "group": g,
-                                 "pad": round(pad, 2), "span": span}
-                        if dn:
-                            dnnz = int(
-                                nnz
-                                - (np.asarray(Xc.fwd.inv[: Xc.fwd.vals.size]) < nnz).sum()
+                        for quad in [int(x) for x in args.quads.split(",")]:
+                            Xc = build_tiled(
+                                rows, cols, vals, (args.p, args.n),
+                                layout="compact", group=g,
+                                dense_tile_nnz=dn or None, tail_span=span,
+                                quad_tail_nnz=quad or None,
                             )
-                            extra.update(
-                                dense_thresh=dn,
-                                dense_blocks=Xc.fwd.n_dblocks,
-                                dense_nnz_frac=round(dnnz / max(nnz, 1), 3),
-                            )
-                        timed(tiled_chain(prec), Xc, "compact", extra)
+                            pad = Xc.fwd.vals.size / max(nnz, 1)
+                            extra = {"precision": prec, "group": g,
+                                     "pad": round(pad, 2), "span": span}
+                            if dn:
+                                dnnz = int(
+                                    nnz
+                                    - (np.asarray(Xc.fwd.inv[: Xc.fwd.vals.size]) < nnz).sum()
+                                )
+                                extra.update(
+                                    dense_thresh=dn,
+                                    dense_blocks=Xc.fwd.n_dblocks,
+                                    dense_nnz_frac=round(dnnz / max(nnz, 1), 3),
+                                )
+                            if quad:
+                                qn = Xc.fwd.n_qchunks
+                                qnnz = int(
+                                    (np.asarray(Xc.fwd.inv[-qn * 128:]) < nnz).sum()
+                                ) if qn else 0
+                                extra.update(
+                                    quad_tail_nnz=quad,
+                                    quad_chunks=qn,
+                                    quad_nnz_frac=round(qnnz / max(nnz, 1), 3),
+                                )
+                            timed(tiled_chain(prec), Xc, "compact", extra)
 
 
 if __name__ == "__main__":

@@ -44,6 +44,7 @@ __all__ = [
     "verbose_chunk",
     "set_verbose_chunk",
     "effective_verbose_chunk",
+    "enable_compilation_cache",
 ]
 
 _use_pallas: bool = False
@@ -145,6 +146,27 @@ def set_use_pallas(value: bool):
 
 def use_pallas() -> bool:
     return _use_pallas
+
+
+def enable_compilation_cache(path: str | None = None):
+    """Persist XLA compilations to disk so cold-start costs (e.g. the
+    nndsvdar init's QR/SVD pipeline, measured at ~21 s to compile on v5e —
+    docs/tpu_results.md) are paid once per machine, not once per process.
+
+    Thin wrapper over jax's compilation cache with NMF-suited defaults:
+    cache everything (no minimum compile time / entry size).  ``path``
+    defaults to ``~/.cache/nmf_tpu_xla``.
+    """
+    import os
+
+    path = path or os.path.join(
+        os.path.expanduser("~"), ".cache", "nmf_tpu_xla"
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return path
 
 
 def _on_tpu() -> bool:

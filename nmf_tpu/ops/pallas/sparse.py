@@ -74,43 +74,49 @@ def _gather_wide(dblk, lcol, K, span):
     return gathered
 
 
+def _split_bf16(scaled, precision):
+    """bf16 split parts of a scaled f32 operand.  One-hot entries are
+    exactly representable in bf16, so summing ``dot(part, onehot)`` over the
+    parts recovers: exact f32 (3-way split), ~2^-16 relative (2-way), or
+    single-pass bf16 rounding (~1e-3)."""
+    if precision == "exact":
+        s1 = scaled.astype(jnp.bfloat16)
+        r1 = scaled - s1.astype(jnp.float32)
+        s2 = r1.astype(jnp.bfloat16)
+        s3 = (r1 - s2.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (s1, s2, s3)
+    if precision == "high":
+        s1 = scaled.astype(jnp.bfloat16)
+        s2 = (scaled - s1.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (s1, s2)
+    return (scaled.astype(jnp.bfloat16),)
+
+
+def _dot_parts(parts, onehot):
+    """sum_i parts[i] @ onehot with DEFAULT precision pinned: rounding is
+    managed by the manual bf16 splits, and an ambient
+    default_matmul_precision("high") context (config.py sets one per solver)
+    must not leak in — Mosaic has no HIGH lowering."""
+    out = None
+    for part in parts:
+        c = jax.lax.dot_general(
+            part,
+            onehot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        out = c if out is None else out + c
+    return out
+
+
 def _chunk_update(acc_ref, dblk, lrow, lcol, val, rr, K, precision, rp, span=1):
     """One 128-nnz chunk: lane-gather D columns, scale, one-hot MXU scatter
     into the accumulator's row panel ``rp``."""
     gathered = _gather_wide(dblk, lcol, K, span)
     scaled = gathered * val[None, :]
     onehot = (lrow[:, None] == rr).astype(jnp.bfloat16)
-
-    def bf16_dot(a_bf16):
-        # precision pinned to DEFAULT: rounding is managed manually by the
-        # bf16 splits below, and an ambient default_matmul_precision("high")
-        # context (config.py sets one per solver) must not leak in — Mosaic
-        # has no HIGH lowering.
-        return jax.lax.dot_general(
-            a_bf16,
-            onehot,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )
-
-    if precision == "exact":
-        # One-hot entries are exactly representable in bf16, so a 3-way bf16
-        # split of `scaled` recovers full f32 precision in 3 MXU passes
-        # (HIGHEST would burn 6 on splitting both sides).
-        s1 = scaled.astype(jnp.bfloat16)
-        r1 = scaled - s1.astype(jnp.float32)
-        s2 = r1.astype(jnp.bfloat16)
-        s3 = (r1 - s2.astype(jnp.float32)).astype(jnp.bfloat16)
-        contrib = bf16_dot(s1) + bf16_dot(s2) + bf16_dot(s3)
-    elif precision == "high":
-        # 2-way split: ~16 mantissa bits (~2^-16 relative) in 2 MXU passes
-        s1 = scaled.astype(jnp.bfloat16)
-        s2 = (scaled - s1.astype(jnp.float32)).astype(jnp.bfloat16)
-        contrib = bf16_dot(s1) + bf16_dot(s2)
-    else:
-        # single bf16 pass: ~1e-3 relative rounding of `scaled`
-        contrib = bf16_dot(scaled.astype(jnp.bfloat16))
+    contrib = _dot_parts(_split_bf16(scaled, precision), onehot)
     off = pl.multiple_of(rp * TILE, TILE)
     acc_ref[:, pl.ds(off, TILE)] += contrib
 
@@ -335,6 +341,21 @@ def tiled_matmul_t(side, D, *, interpret: bool = False, precision: str = "highes
                 (side.n_dblocks, stripe_width, p_pad),
                 interpret,
             )
+        if getattr(side, "n_qchunks", 0):
+            from ..sparse_format import QUAD_GROUP
+
+            out = out + _tiled_quad_impl(
+                side.q_rp,
+                side.qwin_panel,
+                side.qwin_stripe,
+                side.qlrows,
+                side.qlcols,
+                jnp.asarray(side.qvals, jnp.float32),
+                Dt,
+                (side.n_qchunks // QUAD_GROUP, QUAD_GROUP, stripe_width, p_pad),
+                interpret,
+                precision,
+            )
     else:
         meta = (
             side.n_stripes,
@@ -354,6 +375,104 @@ def tiled_matmul_t(side, D, *, interpret: bool = False, precision: str = "highes
             precision,
         )
     return out[:k, :p].T
+
+
+def _make_quad_kernel(QG, stripe_width, K, precision: str):
+    """Quad-tail chunks: four <=32-nnz tiles share one 128-slot chunk (fixed
+    32-slot sub-segments; same stripe + col panel, one row panel each).  One
+    lane gather + one bf16 split serve all four sub-segments; each
+    sub-segment gets its own masked one-hot MXU scatter into its row panel.
+    The per-chunk metadata is one int32 (4 rp bytes) — the tail experiment
+    of docs/sparse_kernel_design.md round 3."""
+    from ..sparse_format import QUAD_SEG
+
+    def kernel(win_panel, win_stripe, rp_ref, lrows_ref, lcols_ref, vals_ref,
+               dt_ref, out_hbm, acc_ref, copy_sem):
+        i = pl.program_id(0)
+        s = win_stripe[i]
+        prev = win_stripe[jnp.maximum(i - 1, 0)]
+
+        @pl.when(jnp.logical_or(i == 0, prev != s))
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        dblk = dt_ref[:]  # (K, TILE)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+        seg = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0) // QUAD_SEG
+
+        for t in range(QG):
+            w = rp_ref[i * QG + t]
+            lrow = lrows_ref[t, :]
+            idx = jnp.broadcast_to(lcols_ref[t, :][None, :], (K, TILE))
+            gathered = jnp.take_along_axis(dblk, idx, axis=1)
+            scaled = gathered * vals_ref[t, :][None, :]
+            parts = _split_bf16(scaled, precision)
+            eq = lrow[:, None] == rr
+            for si in range(4):
+                rp = (w >> (8 * si)) & 0xFF
+                onehot = (eq & (seg == si)).astype(jnp.bfloat16)
+                contrib = _dot_parts(parts, onehot)
+                off = pl.multiple_of(rp * TILE, TILE)
+                acc_ref[:, pl.ds(off, TILE)] += contrib
+
+        @pl.when(win_stripe[i + 1] != s)
+        def _():
+            copy = pltpu.make_async_copy(
+                acc_ref,
+                out_hbm.at[:, pl.ds(s * stripe_width, stripe_width)],
+                copy_sem,
+            )
+            copy.start()
+            copy.wait()
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("meta", "interpret", "precision"))
+def _tiled_quad_impl(
+    q_rp, qwin_panel, qwin_stripe, qlrows, qlcols, qvals, Dt, meta,
+    interpret=False, precision="highest",
+):
+    (nwin_q, QG, stripe_width, p_pad) = meta
+    K = Dt.shape[0]
+    prec = _resolve_precision(precision)
+    kernel = _make_quad_kernel(QG, stripe_width, K, prec)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nwin_q,),
+        in_specs=[
+            pl.BlockSpec(
+                (QG, TILE), lambda i, wp, ws, rp: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (QG, TILE), lambda i, wp, ws, rp: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (QG, TILE), lambda i, wp, ws, rp: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (K, TILE), lambda i, wp, ws, rp: (0, wp[i]),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((K, stripe_width), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K, p_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qlrows.shape[0] * TILE * TILE * K * 4,
+            bytes_accessed=3 * qlrows.size * 4 + Dt.size * 4 + K * p_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qwin_panel, qwin_stripe, q_rp.reshape(-1), qlrows, qlcols, qvals, Dt)
 
 
 def _make_dense_kernel(G, stripe_width, K):
@@ -534,6 +653,78 @@ def _tiled_sddmm_compact_impl(
     )(win_panel, win_stripe, chunk_rp.reshape(-1), lrows, lcols, Wt, Ht)
 
 
+def _make_sddmm_quad_kernel(QG, K):
+    """SDDMM over quad-tail chunks: the H-column gather is shared across the
+    four sub-segments; the W-row gather runs per sub-segment (each has its
+    own row panel) and is lane-selected into place."""
+    from ..sparse_format import QUAD_SEG
+
+    def kernel(win_panel, win_stripe, rp_ref, lrows_ref, lcols_ref, wt_ref,
+               ht_ref, out_ref):
+        i = pl.program_id(0)
+        hblk = ht_ref[:]  # (K, TILE)
+        seg = jax.lax.broadcasted_iota(jnp.int32, (K, TILE), 1) // QUAD_SEG
+        for t in range(QG):
+            w = rp_ref[i * QG + t]
+            idxr = jnp.broadcast_to(lrows_ref[t, :][None, :], (K, TILE))
+            idxc = jnp.broadcast_to(lcols_ref[t, :][None, :], (K, TILE))
+            hg = jnp.take_along_axis(hblk, idxc, axis=1)
+            wg = jnp.zeros((K, TILE), jnp.float32)
+            for si in range(4):
+                rp = (w >> (8 * si)) & 0xFF
+                off = pl.multiple_of(rp * TILE, TILE)
+                wblk = wt_ref[:, pl.ds(off, TILE)]
+                wg_si = jnp.take_along_axis(wblk, idxr, axis=1)
+                wg = jnp.where(seg == si, wg_si, wg)
+            out_ref[t, :] = jnp.sum(wg * hg, axis=0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("meta", "interpret"))
+def _tiled_sddmm_quad_impl(
+    q_rp, qwin_panel, qwin_stripe, qlrows, qlcols, Wt, Ht, meta, interpret=False
+):
+    (nwin_q, QG, stripe_width) = meta
+    K = Wt.shape[0]
+    kernel = _make_sddmm_quad_kernel(QG, K)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nwin_q,),
+        in_specs=[
+            pl.BlockSpec(
+                (QG, TILE), lambda i, wp, ws, rp: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (QG, TILE), lambda i, wp, ws, rp: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (K, stripe_width),
+                lambda i, wp, ws, rp: (0, ws[i]),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (K, TILE), lambda i, wp, ws, rp: (0, wp[i]),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (QG, TILE), lambda i, wp, ws, rp: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nwin_q * QG, TILE), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qlrows.size * K * 4,
+            bytes_accessed=2 * qlrows.size * 4 + Wt.size * 4 + Ht.size * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qwin_panel, qwin_stripe, q_rp.reshape(-1), qlrows, qlcols, Wt, Ht)
+
+
 def tiled_sddmm(X: TiledCSR, W, H, *, interpret: bool = False):
     """Values of ``(W @ H)`` sampled at X's nonzeros, (nnz,) in CSR order
     (the per-nnz seam behind the divergence updater's quotient,
@@ -563,6 +754,16 @@ def tiled_sddmm(X: TiledCSR, W, H, *, interpret: bool = False):
     flat = out.reshape(-1)
     if side.n_dblocks:
         flat = jnp.concatenate([flat, _dense_sample(side, Wt, Ht)])
+    if getattr(side, "n_qchunks", 0):
+        from ..sparse_format import QUAD_GROUP
+
+        qout = _tiled_sddmm_quad_impl(
+            side.q_rp, side.qwin_panel, side.qwin_stripe, side.qlrows,
+            side.qlcols, Wt, Ht,
+            (side.n_qchunks // QUAD_GROUP, QUAD_GROUP, stripe_width),
+            interpret,
+        )
+        flat = jnp.concatenate([flat, qout.reshape(-1)])
     return jnp.take(flat, side.perm).astype(W.dtype)
 
 

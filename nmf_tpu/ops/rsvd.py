@@ -3,12 +3,14 @@ replacement for ``RandomizedLinAlg.rsvd`` which the reference's NNDSVD
 initialization calls (/root/reference/src/initialization.jl:83).
 
 Design: sketch ``Y = X @ Omega`` is one big sharded MXU matmul (the only pass
-over X besides the optional power iterations); the tall-skinny QR and the
-small (l x n after projection) SVD run on the small side.  With X sharded
-(rows, cols) the sketch reduces over the column axis (one all-reduce of a
-p x l panel per power iteration).  Oversampling and power iterations default
-on (the reference's ``rsvd(X, k)`` uses none) — strictly better singular
-triplets for the same init contract.
+over X besides the optional power iterations); the tall-skinny QR is a
+**distributed shifted CholeskyQR3** (``ops.tsqr``) — Gram psum + replicated
+l x l Cholesky + local back-substitution, so the p-row panel is never
+gathered — and only the small (l x n after projection) SVD runs replicated.
+With X sharded (rows, cols) the sketch reduces over the column axis (one
+all-reduce of a p x l panel per power iteration).  Oversampling and power
+iterations default on (the reference's ``rsvd(X, k)`` uses none) — strictly
+better singular triplets for the same init contract.
 """
 
 from __future__ import annotations
@@ -19,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from . import matops
+from .tsqr import cholesky_qr
 
 __all__ = ["rsvd"]
 
@@ -30,11 +33,11 @@ def _rsvd_impl(X, key, k, oversample, n_iter):
     dt = X.dtype
     omega = jax.random.normal(key, (n, l), dtype=dt)
     Y = matops.mm(X, omega)  # (p, l) sketch
-    Q, _ = jnp.linalg.qr(Y)
+    Q = cholesky_qr(Y)
     Xt = matops.transpose(X)
     for _ in range(n_iter):
-        Z, _ = jnp.linalg.qr(matops.mm(Xt, Q))
-        Q, _ = jnp.linalg.qr(matops.mm(X, Z))
+        Z = cholesky_qr(matops.mm(Xt, Q))
+        Q = cholesky_qr(matops.mm(X, Z))
     B = matops.mtm(Q.T, X)  # (l, n)
     Ub, s, Vt = jnp.linalg.svd(B, full_matrices=False)
     U = Q @ Ub

@@ -34,6 +34,8 @@ from ..models.common import data_field, static_field
 
 TILE = 128  # row-panel height == col-panel width == chunk capacity
 DENSE_GROUP = 8  # dense-tile blocks per kernel grid step (multiple of 4)
+QUAD_GROUP = 8  # quad-tail chunks per kernel grid step
+QUAD_SEG = TILE // 4  # sub-segment capacity of a quad-tail chunk
 
 __all__ = [
     "TILE",
@@ -115,6 +117,19 @@ class TiledSideC:
     # chunk tiles span this many consecutive 128-col panels (wide-tail mode);
     # lcols is in [0, span*128), n_colpanels counts WIDE panels
     span: int = static_field(default=1)
+    # Quad-tail store (the round-3 tail experiment, docs/sparse_kernel_design):
+    # tiles with <= quad_tail_nnz nonzeros are packed FOUR per chunk as fixed
+    # 32-slot sub-segments sharing one (stripe, col panel) — one lane gather
+    # serves all four, each sub-segment one-hot-scatters to its own row
+    # panel.  Per-chunk metadata is ONE int32 (4 rp bytes): the same packed-
+    # word SMEM budget as the plain chunks.
+    qvals: jax.Array | None = data_field(default=None)  # (nq, TILE)
+    qlrows: jax.Array | None = data_field(default=None)  # (nq, TILE) int32
+    qlcols: jax.Array | None = data_field(default=None)  # (nq, TILE) int32
+    q_rp: jax.Array | None = data_field(default=None)  # (nwin_q, QG) int32, 4 rp/word
+    qwin_panel: jax.Array | None = data_field(default=None)  # (nwin_q+1,) int32
+    qwin_stripe: jax.Array | None = data_field(default=None)  # (nwin_q+1,) int32, -1 sentinel
+    n_qchunks: int = static_field(default=0)  # padded chunk count (QG-multiple)
 
 
 @jax.tree_util.register_dataclass
@@ -165,8 +180,13 @@ class TiledCSR:
                 )
             n_chunk = side.vals.size
             kw = {"vals": flat[:n_chunk].reshape(side.vals.shape)}
+            off = n_chunk
             if getattr(side, "n_dblocks", 0):
-                kw["dvals"] = flat[n_chunk:].reshape(side.dvals.shape)
+                nd = side.dvals.size
+                kw["dvals"] = flat[off : off + nd].reshape(side.dvals.shape)
+                off += nd
+            if getattr(side, "n_qchunks", 0):
+                kw["qvals"] = flat[off:].reshape(side.qvals.shape)
             return dataclasses.replace(side, **kw)
 
         return dataclasses.replace(
@@ -255,7 +275,7 @@ def _build_side(rows, cols, vals, p, n, stripe_tiles):
 
 
 def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
-                        dense_thresh=None, tail_span=1):
+                        dense_thresh=None, tail_span=1, quad_tail_nnz=None):
     """Bin (row, col, val) into the compact chunk layout for one orientation.
 
     ``dense_thresh``: tiles with at least this many nonzeros are stored as
@@ -264,9 +284,19 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
     (128 x span*128 wide tiles).  Ultra-sparse residuals (power-law tails
     after the dense head is extracted) would otherwise burn a whole 128-slot
     chunk per 128x128 tile; widening the tile collapses that padding at the
-    cost of a span-way decomposed lane-gather in the kernel."""
+    cost of a span-way decomposed lane-gather in the kernel.
+    ``quad_tail_nnz``: tiles with at most this many nonzeros (<= 32) are
+    packed FOUR per chunk as fixed 32-slot sub-segments (same stripe + col
+    panel, one row panel per sub-segment) — one lane gather serves all four
+    and the per-chunk metadata stays one int32 word.  Mutually exclusive
+    with tail_span > 1."""
     if tail_span not in (1, 2, 4, 8, 16):
         raise ValueError("tail_span must be one of 1, 2, 4, 8, 16")
+    if quad_tail_nnz is not None:
+        if tail_span != 1:
+            raise ValueError("quad_tail_nnz requires tail_span == 1")
+        if not (1 <= quad_tail_nnz <= QUAD_SEG):
+            raise ValueError(f"quad_tail_nnz must be in [1, {QUAD_SEG}]")
     if group % 8:
         raise ValueError(f"group must be a multiple of 8 (sublane tiling), got {group}")
     n_rowpanels = -(-p // TILE)
@@ -296,18 +326,23 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
         tile_dense = counts_all >= dense_thresh
     else:
         tile_dense = np.zeros(len(tiles_all), bool)
+    if quad_tail_nnz and len(tiles_all):
+        tile_quad = (~tile_dense) & (counts_all <= quad_tail_nnz)
+    else:
+        tile_quad = np.zeros(len(tiles_all), bool)
     nnz_tile = (
         np.repeat(np.arange(len(tiles_all)), counts_all)
         if len(tiles_all)
         else np.zeros(0, np.int64)
     )
     is_dense = tile_dense[nnz_tile] if len(tiles_all) else np.zeros(0, bool)
+    is_quad = tile_quad[nnz_tile] if len(tiles_all) else np.zeros(0, bool)
     slot_sorted = np.empty(len(akey), np.int64)
 
     span = tail_span
     cwidth = TILE * span
     n_cpanels = -(-n // cwidth)
-    sp = ~is_dense
+    sp = ~is_dense & ~is_quad
     s_rows, s_cols, s_vals = a_rows[sp], a_cols[sp], a_vals[sp]
     if span > 1:
         # re-sort the residual by the coarse (stripe, wide panel, rp) key
@@ -455,9 +490,76 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
         ndblk = 0
         dvals = dblk_stripe = dblk_panel = dblk_rp = None
 
+    # ---- quad-tail store (four <=32-nnz tiles per chunk) ----
+    q_tiles = tiles_all[tile_quad]
+    if len(q_tiles):
+        QG = QUAD_GROUP
+        gq_key = q_tiles // stripe_tiles  # (stripe * n_colpanels + cp)
+        gq_uniq, gq_tilecounts = np.unique(gq_key, return_counts=True)
+        chunks_per_gq = -(-gq_tilecounts // 4)
+        padded_q = -(-chunks_per_gq // QG) * QG
+        # every stripe must be flushed by the quad kernel too
+        miss_q = np.setdiff1d(
+            np.arange(n_stripes, dtype=np.int64), gq_uniq // n_colpanels
+        )
+        if len(miss_q):
+            gq_uniq = np.concatenate([gq_uniq, miss_q * n_colpanels])
+            padded_q = np.concatenate([padded_q, np.full(len(miss_q), QG, np.int64)])
+            oq = np.argsort(gq_uniq, kind="stable")
+            gq_uniq, padded_q = gq_uniq[oq], padded_q[oq]
+        base_q = np.concatenate([[0], np.cumsum(padded_q)])[:-1]
+        nq = int(padded_q.sum())
+
+        grp_of_tile_q = np.searchsorted(gq_uniq, gq_key)
+        first_of_grp_q = np.searchsorted(gq_key, gq_uniq)
+        within_t = np.arange(len(q_tiles)) - first_of_grp_q[grp_of_tile_q]
+        chunk_of_tile = base_q[grp_of_tile_q] + within_t // 4
+        seg_of_tile = within_t % 4
+
+        qlrows = np.zeros((nq, TILE), np.int32)
+        qlcols = np.zeros((nq, TILE), np.int32)
+        qvals = np.zeros((nq, TILE), np.float32)
+        rp_seg = np.zeros((nq, 4), np.int64)
+        rp_seg[chunk_of_tile, seg_of_tile] = q_tiles % stripe_tiles
+        q_rp = (
+            rp_seg[:, 0]
+            | (rp_seg[:, 1] << 8)
+            | (rp_seg[:, 2] << 16)
+            | (rp_seg[:, 3] << 24)
+        ).astype(np.int32)
+        nwin_q = nq // QG
+        q_rp = q_rp.reshape(nwin_q, QG)
+        win_per_q = (padded_q // QG).astype(np.int64)
+        qwin_stripe = np.append(
+            np.repeat((gq_uniq // n_colpanels).astype(np.int32), win_per_q), -1
+        ).astype(np.int32)
+        qwin_panel = np.append(
+            np.repeat((gq_uniq % n_colpanels).astype(np.int32), win_per_q), 0
+        ).astype(np.int32)
+
+        # per-nnz placement (akey order is sorted, tiles contiguous)
+        qk = akey[is_quad]
+        tile_of_nnz_q = np.searchsorted(q_tiles, qk)
+        tfirst_q = np.searchsorted(qk, q_tiles)
+        pos_q = np.arange(len(qk)) - tfirst_q[tile_of_nnz_q]
+        qslot = (
+            chunk_of_tile[tile_of_nnz_q] * TILE
+            + seg_of_tile[tile_of_nnz_q] * QUAD_SEG
+            + pos_q
+        )
+        qlrows.reshape(-1)[qslot] = (a_rows[is_quad] % TILE).astype(np.int32)
+        qlcols.reshape(-1)[qslot] = (a_cols[is_quad] % TILE).astype(np.int32)
+        qvals.reshape(-1)[qslot] = a_vals[is_quad]
+        slot_sorted[is_quad] = nchunk_slots + ndblk * TILE * TILE + qslot
+    else:
+        nq = 0
+        qvals = qlrows = qlcols = q_rp = qwin_panel = qwin_stripe = None
+
     perm = np.empty(len(akey), np.int64)
     perm[order] = slot_sorted
-    inv = np.full(nchunk_slots + ndblk * TILE * TILE, len(akey), np.int64)
+    inv = np.full(
+        nchunk_slots + ndblk * TILE * TILE + nq * TILE, len(akey), np.int64
+    )
     inv[perm] = np.arange(len(akey))
 
     win_per_group = (padded_per_group // group).astype(np.int64)
@@ -497,13 +599,20 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
         asarray(dblk_rp),
         ndblk,
         span,
+        qvals=asarray(qvals),
+        qlrows=asarray(qlrows),
+        qlcols=asarray(qlcols),
+        q_rp=asarray(q_rp),
+        qwin_panel=asarray(qwin_panel),
+        qwin_stripe=asarray(qwin_stripe),
+        n_qchunks=nq,
     )
 
 
 def build_tiled(
     rows, cols, vals, shape, *, stripe_tiles: int = 32, layout: str = "compact",
     group: int = 16, order: str = "degree", dense_tile_nnz: int | None = None,
-    tail_span: int = 1,
+    tail_span: int = 1, quad_tail_nnz: int | None = None,
 ) -> TiledCSR:
     """Build both tiling orientations from COO data (deduped).
 
@@ -545,11 +654,11 @@ def build_tiled(
     if layout == "compact":
         fwd = _build_side_compact(
             rows_t, cols_t, vals, p, n, stripe_tiles, group, dense_tile_nnz,
-            tail_span,
+            tail_span, quad_tail_nnz,
         )
         bwd = _build_side_compact(
             cols_t, rows_t, vals, n, p, stripe_tiles, group, dense_tile_nnz,
-            tail_span,
+            tail_span, quad_tail_nnz,
         )
     else:
         fwd = _build_side(rows_t, cols_t, vals, p, n, stripe_tiles)

@@ -335,7 +335,7 @@ def _local_matmul_jnp(side_meta, lrows, lcols, vals, Dt_local):
     flat_cols = gcol.reshape(-1)
     flat_vals = vals.reshape(-1)
     contrib = Dt_local[:, flat_cols] * flat_vals[None, :]  # (K, nnz_slots)
-    out = jnp.zeros((Dt_local.shape[0], rows_pad), jnp.float32)
+    out = jnp.zeros((Dt_local.shape[0], rows_pad), contrib.dtype)
     return out.at[:, flat_rows].add(contrib)
 
 

@@ -54,8 +54,38 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_problem(mesh: Mesh, X, W, H):
-    """Place (X, W, H) with the canonical layout."""
-    X = jax.device_put(X, x_sharding(mesh))
+    """Place (X, W, H) with the canonical layout.
+
+    Sparse X is first-class (the reference's one-entry-point genericity
+    contract, /root/reference/src/interf.jl:3-13): a ``TiledCSR`` or BCOO is
+    rebuilt as a 2-D ``ShardedTiled`` over the mesh; a prebuilt
+    ``ShardedTiled`` passes through (its mesh must match)."""
+    from ..ops import matops
+
+    if matops.is_sharded_tiled(X):
+        if X.mesh is not None and X.mesh != mesh:
+            raise ValueError(
+                "X is a ShardedTiled built for a different mesh; rebuild it "
+                "with shard_tiled(..., mesh) or pass its own mesh to nnmf."
+            )
+    elif matops.is_tiled(X):
+        import numpy as np
+
+        from ..ops.sparse_shard import shard_tiled
+
+        X = shard_tiled(
+            np.asarray(X.row_idx), np.asarray(X.col_idx), np.asarray(X.values),
+            X.shape, mesh,
+        )
+    elif matops.is_sparse(X):  # BCOO
+        import numpy as np
+
+        from ..ops.sparse_shard import shard_tiled
+
+        idx = np.asarray(X.indices)
+        X = shard_tiled(idx[:, 0], idx[:, 1], np.asarray(X.data), X.shape, mesh)
+    else:
+        X = jax.device_put(X, x_sharding(mesh))
     W = jax.device_put(W, w_sharding(mesh))
     H = jax.device_put(H, h_sharding(mesh))
     return X, W, H

@@ -136,3 +136,60 @@ def test_sharded_spa_matches_dense():
     Wd, Hd = spa(jnp.asarray(Xd), 4)
     np.testing.assert_allclose(np.asarray(Ws), np.asarray(Wd), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(Hs), np.asarray(Hd), rtol=2e-3, atol=2e-3)
+
+
+@requires_multidevice
+@pytest.mark.parametrize("alg", ["multdiv", "cd", "greedycd"])
+def test_nnmf_front_door_sparse_mesh(alg):
+    """The reference's one-entry-point contract on sharded sparse X
+    (src/interf.jl:3-13): nnmf(TiledCSR, mesh=...) and nnmf(ShardedTiled,
+    mesh=...) run init -> solve -> Result end-to-end and agree with the
+    dense nnmf on the same problem and seed."""
+    from nmf_tpu.ops.sparse_format import build_tiled
+
+    Xd, r, c, rng = make(seed=3, p=300, n=260, density=0.06)
+    k = 3
+    dense = nmf_tpu.nnmf(
+        jnp.asarray(Xd), k, alg=alg, init="random", maxiter=8, seed=11
+    )
+
+    mesh = make_mesh((2, 4))
+    Xt = build_tiled(r, c, Xd[r, c], Xd.shape, stripe_tiles=1)
+    via_tiled = nmf_tpu.nnmf(
+        Xt, k, alg=alg, init="random", maxiter=8, seed=11, mesh=mesh
+    )
+    assert via_tiled.niters == dense.niters
+    np.testing.assert_allclose(
+        np.asarray(via_tiled.W), np.asarray(dense.W), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(via_tiled.H), np.asarray(dense.H), rtol=2e-4, atol=2e-4
+    )
+    assert np.isclose(via_tiled.objvalue, dense.objvalue, rtol=1e-4)
+
+    # prebuilt ShardedTiled passes straight through
+    Xs = shard_tiled(r, c, Xd[r, c], Xd.shape, mesh, stripe_tiles=1)
+    via_sharded = nmf_tpu.nnmf(
+        Xs, k, alg=alg, init="random", maxiter=8, seed=11, mesh=mesh
+    )
+    assert np.isclose(via_sharded.objvalue, dense.objvalue, rtol=1e-4)
+
+
+@requires_multidevice
+def test_nnmf_front_door_sparse_default_init():
+    """nnmf on sharded sparse X with the DEFAULT init (nndsvdar -> rsvd ->
+    distributed CholeskyQR3) — the full reference-default path on the mesh."""
+    rng = np.random.default_rng(9)
+    p, n, k = 300, 260, 3
+    Wg = np.abs(rng.random((p, k))).astype(np.float32)
+    Hg = (np.abs(rng.random((k, n))) * (rng.random((k, n)) < 0.3)).astype(np.float32)
+    Xd = Wg @ Hg
+    r, c = np.nonzero(Xd)
+    mesh = make_mesh((2, 4))
+    Xs = shard_tiled(r, c, Xd[r, c], Xd.shape, mesh, stripe_tiles=1)
+    res = nmf_tpu.nnmf(Xs, k, alg="cd", maxiter=30, seed=0, mesh=mesh)
+    assert np.isfinite(res.objvalue)
+    rel = np.linalg.norm(
+        Xd - np.asarray(res.W) @ np.asarray(res.H)
+    ) / np.linalg.norm(Xd)
+    assert rel < 0.15, rel

@@ -273,3 +273,50 @@ def test_stripe_tiles_packing_guard():
     vals = np.ones(len(rows), np.float32)
     with pytest.raises(ValueError, match="stripe_tiles"):
         _build_side_compact(rows, cols, vals, p, 128, 300, 8)
+
+
+def test_quad_tail_tiles_match_dense():
+    """quad_tail_nnz: <=32-nnz tiles packed four per chunk (32-slot
+    sub-segments, one row panel each).  mm/mtm/sddmm and value refreshes
+    agree with dense math, with and without the dense-head store."""
+    from nmf_tpu.ops.pallas.sparse import tiled_mm, tiled_mtm, tiled_sddmm
+    from nmf_tpu.ops.sparse_format import build_tiled
+
+    rng = np.random.default_rng(23)
+    p, n, k = 700, 520, 9
+    Xd = (rng.random((p, n)) * (rng.random((p, n)) < 0.01)).astype(np.float32)
+    Xd[:200, :256] = (
+        rng.random((200, 256)) * (rng.random((200, 256)) < 0.5)
+    ).astype(np.float32)
+    # a mid-density band that stays in plain chunks (> 32 nnz, < dense)
+    Xd[256:384, 256:384] = (
+        rng.random((128, 128)) * (rng.random((128, 128)) < 0.005)
+    ).astype(np.float32)
+    r, c = np.nonzero(Xd)
+    for dense_tile_nnz in (None, 256):
+        X = build_tiled(
+            r, c, Xd[r, c], Xd.shape, stripe_tiles=3, group=8, order="degree",
+            dense_tile_nnz=dense_tile_nnz, quad_tail_nnz=32,
+        )
+        assert X.fwd.n_qchunks > 0
+        if dense_tile_nnz:
+            assert X.fwd.n_dblocks > 0
+        D = jnp.asarray(rng.random((n, k)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(tiled_mm(X, D)), Xd @ np.asarray(D), rtol=3e-5, atol=2e-4
+        )
+        D2 = jnp.asarray(rng.random((p, k)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(tiled_mtm(X, D2)), Xd.T @ np.asarray(D2), rtol=3e-5, atol=2e-4
+        )
+        W = jnp.asarray(rng.random((p, k)).astype(np.float32))
+        H = jnp.asarray(rng.random((k, n)).astype(np.float32))
+        got = np.asarray(tiled_sddmm(X, W, H))
+        ref = (np.asarray(W) @ np.asarray(H))[
+            np.asarray(X.row_idx), np.asarray(X.col_idx)
+        ]
+        np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-4)
+        Y = matops.scale_values(X, matops.nnz_values(X) * 2.0)
+        np.testing.assert_allclose(
+            np.asarray(tiled_mm(Y, D)), (2 * Xd) @ np.asarray(D), rtol=3e-5, atol=4e-4
+        )
