@@ -320,3 +320,37 @@ def test_quad_tail_tiles_match_dense():
         np.testing.assert_allclose(
             np.asarray(tiled_mm(Y, D)), (2 * Xd) @ np.asarray(D), rtol=3e-5, atol=4e-4
         )
+
+
+def test_quad_tail_solver_matches_bcoo():
+    """Full solver runs on a quad-tail TiledCSR match the BCOO reference
+    path (mm/mtm/sddmm + value refresh all flow through the quad store)."""
+    from jax.experimental import sparse as jsparse
+    from nmf_tpu.ops.sparse_format import build_tiled
+
+    rng = np.random.default_rng(29)
+    p, n, k = 300, 260, 4
+    Xd = (rng.random((p, n)) * (rng.random((p, n)) < 0.02)).astype(np.float32)
+    Xd[:128, :128] = (
+        rng.random((128, 128)) * (rng.random((128, 128)) < 0.4)
+    ).astype(np.float32)
+    r, c = np.nonzero(Xd)
+    X = build_tiled(
+        r, c, Xd[r, c], Xd.shape, stripe_tiles=2, dense_tile_nnz=200,
+        quad_tail_nnz=32,
+    )
+    assert X.fwd.n_qchunks > 0 and X.fwd.n_dblocks > 0
+    Xs = jsparse.BCOO.fromdense(jnp.asarray(Xd))
+    W0 = jnp.asarray(rng.random((p, k)).astype(np.float32))
+    H0 = jnp.asarray(rng.random((k, n)).astype(np.float32))
+    for alg in (
+        nmf_tpu.MultUpdate(obj="mse", maxiter=5),
+        nmf_tpu.MultUpdate(obj="div", maxiter=5),
+        nmf_tpu.CoordinateDescent(maxiter=5),
+        nmf_tpu.GreedyCD(maxiter=5),
+    ):
+        a = nmf_tpu.solve(alg, Xs, W0, H0)
+        b = nmf_tpu.solve(alg, X, W0, H0)
+        assert b.niters == a.niters
+        np.testing.assert_allclose(np.asarray(b.W), np.asarray(a.W), rtol=2e-4, atol=1e-4)
+        assert np.isclose(b.objvalue, a.objvalue, rtol=1e-4)
