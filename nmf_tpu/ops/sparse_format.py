@@ -680,10 +680,12 @@ def build_tiled(
 
 def from_bcoo(X, *, stripe_tiles: int = 32, layout: str = "compact",
               group: int = 16, order: str = "degree",
-              dense_tile_nnz: int | None = None, tail_span: int = 1) -> TiledCSR:
+              dense_tile_nnz: int | None = None, tail_span: int = 1,
+              quad_tail_nnz: int | None = None) -> TiledCSR:
     idx = np.asarray(X.indices)
     return build_tiled(
         idx[:, 0], idx[:, 1], np.asarray(X.data), X.shape,
         stripe_tiles=stripe_tiles, layout=layout, group=group, order=order,
         dense_tile_nnz=dense_tile_nnz, tail_span=tail_span,
+        quad_tail_nnz=quad_tail_nnz,
     )
