@@ -362,11 +362,22 @@ def config4():
     rate_cd = _solver_rate(cd, X, W, H, 2, 8)
     g, _ = GreedyCD(maxiter=100)._resolved(np.float32)
     rate_g = _solver_rate(g, X, W, H, 2, 6)
+
+    # quad-tail variant (round-3 tail experiment): <=32-nnz tiles packed
+    # four per chunk — measures the end-to-end solver effect
+    Xq = build_tiled(
+        rows, cols, vals, (p, n), dense_tile_nnz=192, quad_tail_nnz=32
+    )
+    rate_cd_q = _solver_rate(cd, Xq, W, H, 2, 8)
+    rate_g_q = _solver_rate(g, Xq, W, H, 2, 6)
     return {
         "metric": "c4_sparse_163kx59k_powerlaw_k128_tiled",
         "value": round(rate_cd, 3),
         "unit": "hals_iterations/sec",
         "greedycd_iters_per_sec": round(rate_g, 3),
+        "hals_quadtail_iters_per_sec": round(rate_cd_q, 3),
+        "greedycd_quadtail_iters_per_sec": round(rate_g_q, 3),
+        "quad_chunks": Xq.fwd.n_qchunks,
         "nnz": nnz,
     }
 
