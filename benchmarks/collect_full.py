@@ -58,13 +58,43 @@ def run_lines(cmd, timeout, env=None):
     return lines
 
 
+PROBE_SRC = """
+import time, jax, jax.numpy as jnp
+t0 = time.time()
+y = jax.jit(lambda a: a @ a)(jnp.ones((256, 256)))
+print("probe_ok", float(y[0, 0]), round(time.time() - t0, 1))
+"""
+
+
+def probe_tpu(timeout=150):
+    """Quick liveness check: the axon tunnel wedges silently (ops hang at
+    ~0% CPU) and nothing local un-wedges it.  A tiny jitted matmul that
+    doesn't come back within `timeout` means every section below would hang
+    to its full per-section timeout — fail fast instead."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", PROBE_SRC], capture_output=True,
+            text=True, timeout=timeout, cwd=REPO,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return "probe_ok" in out.stdout
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="BENCH_full_r03.json")
     ap.add_argument("--only", default="configs,ttt,sparse,cold,c5d")
     ap.add_argument("--skip-config6", action="store_true",
                     help="skip the 90M-nnz north-star slice (long host build)")
+    ap.add_argument("--no-probe", action="store_true",
+                    help="skip the TPU liveness probe (e.g. CPU-only runs)")
     args = ap.parse_args()
+    if not args.no_probe and not probe_tpu():
+        print("TPU probe hung: tunnel is wedged, aborting before the long "
+              "sections (retry later; nothing local fixes it)",
+              file=sys.stderr)
+        sys.exit(3)
     only = set(args.only.split(","))
     py = sys.executable
     results = []

@@ -45,6 +45,8 @@ __all__ = [
     "set_verbose_chunk",
     "effective_verbose_chunk",
     "enable_compilation_cache",
+    "greedycd_cascade",
+    "set_greedycd_cascade",
 ]
 
 _use_pallas: bool = False
@@ -135,6 +137,42 @@ def precision_scope(value: str | None):
     if value is None:
         return contextlib.nullcontext()
     return jax.default_matmul_precision(value)
+
+
+#: GreedyCD compaction-cascade knobs (shrink factor per level, smallest
+#: buffer, and the row count below which compaction is skipped entirely).
+#: Defaults were chosen from the config4 trip histogram
+#: (benchmarks/greedycd_trips.py); env-seeded so benchmarks can sweep them
+#: in fresh processes (``NMF_TPU_CASCADE_SHRINK`` / ``_MIN`` / ``_OFF_ROWS``).
+#: The knobs are read at *trace* time: changing them after a solve of the
+#: same shape has been jitted has no effect on the cached executable — use a
+#: fresh process (or different shapes) when sweeping.
+def _env_int(name: str, default: int) -> int:
+    import os
+
+    try:
+        return int(os.environ.get(name, default))
+    except ValueError:
+        return default
+
+
+greedycd_cascade: dict[str, int] = {
+    "shrink": _env_int("NMF_TPU_CASCADE_SHRINK", 4),
+    "min": _env_int("NMF_TPU_CASCADE_MIN", 1024),
+    "off_rows": _env_int("NMF_TPU_CASCADE_OFF_ROWS", 4096),
+}
+
+
+def set_greedycd_cascade(shrink: int | None = None, min: int | None = None,
+                         off_rows: int | None = None):
+    """Override the GreedyCD cascade schedule (None = keep current).
+    Takes effect on solves traced *after* the call — see the note above."""
+    for key, val in (("shrink", shrink), ("min", min), ("off_rows", off_rows)):
+        if val is not None:
+            if not isinstance(val, int) or val < (2 if key == "shrink" else 1):
+                raise ValueError(f"cascade {key} must be an int >= "
+                                 f"{2 if key == 'shrink' else 1}")
+            greedycd_cascade[key] = val
 
 
 def set_use_pallas(value: bool):

@@ -94,17 +94,16 @@ def _scores(w_row, G_row, denom, Pdiag, dt):
 # 136-192 (the k^2 cap never binds) while the mean collapses to 3-9 after two
 # sweeps — ~40x wasted full-width VPU work.  Fix: an adaptive *compaction
 # cascade*.  Masked full-width steps run only while the active-row count
-# exceeds the next (1/_CASCADE_SHRINK-sized) buffer; then the still-active
-# rows are gathered into that buffer and the loop continues there, shrinking
-# again as rows finish, down to _CASCADE_MIN rows.  The schedule adapts to
-# the data: early sweeps (everyone needs ~150 trips) stay at full width,
-# late sweeps (mean ~3, max ~136) collapse to a tiny buffer after a few
-# steps.  Per-row arithmetic is identical (inactive rows add exact zeros,
-# so their carry is a fixed point of the masked step), hence results match
-# the plain vmapped loop bit-for-bit.
-_CASCADE_SHRINK = 4
-_CASCADE_MIN = 1024
-_COMPACT_MIN_ROWS = 4096  # below this, compaction buys nothing
+# exceeds the next (1/shrink-sized) buffer; then the still-active rows are
+# gathered into that buffer and the loop continues there, shrinking again as
+# rows finish, down to a floor of ``min`` rows.  The schedule adapts to the
+# data: early sweeps (everyone needs ~150 trips) stay at full width, late
+# sweeps (mean ~3, max ~136) collapse to a tiny buffer after a few steps.
+# Per-row arithmetic is identical (inactive rows add exact zeros, so their
+# carry is a fixed point of the masked step), hence results match the plain
+# vmapped loop bit-for-bit.  Knob values live in ``config.greedycd_cascade``
+# (env-seeded: NMF_TPU_CASCADE_SHRINK/_MIN/_OFF_ROWS) and are read at trace
+# time — benchmarks sweep them in fresh processes.
 
 
 def _halfstep(X, W, Ht, lam):
@@ -149,7 +148,11 @@ def _halfstep(X, W, Ht, lam):
         jnp.zeros((rows,), jnp.int32),
     )
 
-    if rows < _COMPACT_MIN_ROWS:
+    from .. import config
+
+    knobs = config.greedycd_cascade
+    shrink, cascade_min = knobs["shrink"], knobs["min"]
+    if rows < knobs["off_rows"]:
         delta = jax.vmap(row_solve)(W, init).delta
         return projectnn(W + delta)
 
@@ -177,11 +180,12 @@ def _halfstep(X, W, Ht, lam):
 
         return active_mask, step
 
-    # Static buffer sizes: rows, rows/4, rows/16, ..., down to _CASCADE_MIN.
+    # Static buffer sizes: rows, rows/shrink, rows/shrink^2, ... down to
+    # the cascade floor.
     caps = []
     cur = rows
-    while cur // _CASCADE_SHRINK >= _CASCADE_MIN:
-        cur = cur // _CASCADE_SHRINK
+    while cur // shrink >= cascade_min:
+        cur = cur // shrink
         caps.append(cur)
 
     delta_full = jnp.zeros((rows, k), dt)

@@ -83,8 +83,8 @@ def test_compaction_cascade_matches_plain(monkeypatch):
     """The adaptive compaction-cascade execution (masked steps + repeated
     shrink-by-4 gathers of the active rows) is bit-identical to the plain
     vmapped while_loop (same per-row arithmetic; inactive rows add exact
-    zeros).  _CASCADE_MIN is shrunk so multiple levels actually run."""
-    import nmf_tpu.models.greedycd as gcd
+    zeros).  The cascade floor is shrunk so multiple levels actually run."""
+    from nmf_tpu import config as cfg
 
     rng = np.random.default_rng(11)
     p, n, k = 600, 150, 5
@@ -97,16 +97,20 @@ def test_compaction_cascade_matches_plain(monkeypatch):
 
     # the knobs are baked in at trace time and do not enter the jit cache
     # key, so the cache must be dropped between the two variants
-    monkeypatch.setattr(gcd, "_COMPACT_MIN_ROWS", 1 << 30)
+    monkeypatch.setitem(cfg.greedycd_cascade, "off_rows", 1 << 30)
     jax.clear_caches()
     plain = M.solve(M.GreedyCD(maxiter=6), X, W0, H0)
-    monkeypatch.setattr(gcd, "_COMPACT_MIN_ROWS", 0)
-    monkeypatch.setattr(gcd, "_CASCADE_MIN", 16)
+    monkeypatch.setitem(cfg.greedycd_cascade, "off_rows", 1)
+    monkeypatch.setitem(cfg.greedycd_cascade, "min", 16)
     jax.clear_caches()
     fast = M.solve(M.GreedyCD(maxiter=6), X, W0, H0)
+    monkeypatch.setitem(cfg.greedycd_cascade, "shrink", 2)
+    jax.clear_caches()
+    fast2 = M.solve(M.GreedyCD(maxiter=6), X, W0, H0)
     jax.clear_caches()  # do not leak knob-baked traces to other tests
 
-    assert fast.niters == plain.niters
-    np.testing.assert_array_equal(np.asarray(fast.W), np.asarray(plain.W))
-    np.testing.assert_array_equal(np.asarray(fast.H), np.asarray(plain.H))
-    assert fast.objvalue == plain.objvalue
+    for got in (fast, fast2):
+        assert got.niters == plain.niters
+        np.testing.assert_array_equal(np.asarray(got.W), np.asarray(plain.W))
+        np.testing.assert_array_equal(np.asarray(got.H), np.asarray(plain.H))
+        assert got.objvalue == plain.objvalue
