@@ -531,7 +531,12 @@ def config5_distributed_worker(args):
     r = np.concatenate(rs) if rs else np.zeros(0, np.int32)
     c = np.concatenate(cs) if cs else np.zeros(0, np.int32)
     v = np.concatenate(vs) if vs else np.zeros(0, np.float32)
-    X = shard_tiled(r, c, v, (p, n), mesh, stripe_tiles=4, local=True)
+    X = shard_tiled(
+        r, c, v, (p, n), mesh, stripe_tiles=4, local=True,
+        layout=args.layout,
+        dense_tile_nnz=args.dense_tile_nnz or None,
+        quad_tail_nnz=args.quad_tail_nnz or None,
+    )
 
     def put(shape, spec, seedfn):
         def cb(index):
@@ -577,6 +582,7 @@ def config5_distributed_worker(args):
                     "global": [p, n],
                     "k": k,
                     "nnz_per_device": int(bp * bn * density),
+                    "layout": args.layout,
                     "spa_sec": None if spa_sec is None else round(spa_sec, 3),
                 }
             ),
@@ -614,6 +620,9 @@ def config5_launch(args):
                     "--bp", str(args.bp), "--bn", str(args.bn),
                     "--density", str(args.density),
                     "--n-small", str(args.n_small), "--n-big", str(args.n_big),
+                    "--layout", args.layout,
+                    "--dense-tile-nnz", str(args.dense_tile_nnz),
+                    "--quad-tail-nnz", str(args.quad_tail_nnz),
                 ] + (["--no-spa"] if args.no_spa else []),
                 stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT,
@@ -687,6 +696,12 @@ def main():
     ap.add_argument("--density", type=float, default=0.02)
     ap.add_argument("--n-small", type=int, default=2)
     ap.add_argument("--no-spa", action="store_true")
+    ap.add_argument("--layout", default="compact",
+                    help="ShardedTiled block layout: compact (default) | grid")
+    ap.add_argument("--dense-tile-nnz", type=int, default=0,
+                    help="hybrid dense-tile threshold for config5d (0 = off)")
+    ap.add_argument("--quad-tail-nnz", type=int, default=0,
+                    help="quad-tail threshold for config5d (0 = off)")
     ap.add_argument("--n-big", type=int, default=8)
     args = ap.parse_args()
     names = args.configs or ["config1"]

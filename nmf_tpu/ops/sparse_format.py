@@ -150,6 +150,9 @@ class TiledCSR:
     col_perm: jax.Array | None = data_field(default=None)
     col_rank: jax.Array | None = data_field(default=None)
     shape: tuple[int, int] = static_field(default=(0, 0))
+    # (stripe_tiles, layout, group, dense_tile_nnz, quad_tail_nnz) the matrix
+    # was built with — lets shard_problem rebuild an equivalent ShardedTiled
+    build_opts: tuple | None = static_field(default=None)
 
     @property
     def dtype(self):
@@ -675,6 +678,7 @@ def build_tiled(
         asarray(col_perm),
         asarray(col_rank),
         (p, n),
+        (stripe_tiles, layout, group, dense_tile_nnz, quad_tail_nnz),
     )
 
 

@@ -33,7 +33,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.common import data_field, static_field
 from ..parallel.mesh import COLS, ROWS
-from .sparse_format import TILE, _build_side, TiledSide
+from .sparse_format import (
+    DENSE_GROUP,
+    QUAD_GROUP,
+    QUAD_SEG,
+    TILE,
+    TiledSide,
+    TiledSideC,
+    _build_side,
+    _build_side_compact,
+)
 
 __all__ = [
     "ShardedTiled",
@@ -68,6 +77,64 @@ class _ShardedSide:
     max_chunks: int = static_field(default=1)
     local_rows: int = static_field(default=0)  # padded local row count
     local_cols: int = static_field(default=0)  # padded local col count
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class _ShardedSideC:
+    """Per-device compact TiledSideCs for one orientation (the round-2
+    single-chip layout: nonempty-tile chunks + scalar-prefetched window maps
+    + optional hybrid dense-tile and quad-tail stores), as global sharded
+    arrays with leading (R, C) device axes.
+
+    Every device block is padded to the same static sizes (``n_windows``,
+    ``n_dblocks``, ``n_qchunks``): padding windows are appended *before* the
+    sentinel with the last stripe id (the builder's per-stripe coverage
+    guarantees that is ``n_stripes - 1``) and all-zero chunks, so they
+    zero-add into the already-open accumulator run and the sentinel still
+    performs the final flush.  Blocks with no dense/quad tiles at all carry
+    a minimal all-zero store with one window per stripe (the same coverage
+    trick the single-chip builder uses for missing stripes).
+    """
+
+    lrows: jax.Array = data_field()  # (R, C, nchunks, TILE) int32
+    lcols: jax.Array = data_field()
+    vals: jax.Array = data_field()
+    chunk_rp: jax.Array = data_field()  # (R, C, nwin, group//4) int32 packed
+    win_panel: jax.Array = data_field()  # (R, C, nwin+1) int32
+    win_stripe: jax.Array = data_field()  # (R, C, nwin+1) int32, -1 sentinel
+    n_stripes: int = static_field(default=1)
+    n_colpanels: int = static_field(default=1)
+    n_windows: int = static_field(default=1)
+    group: int = static_field(default=16)
+    panels_per_stripe: int = static_field(default=1)  # stripe_tiles
+    local_rows: int = static_field(default=0)  # padded local row count
+    local_cols: int = static_field(default=0)
+    # hybrid dense-tile store (all-None when dense_tile_nnz was not set)
+    dvals: jax.Array | None = data_field(default=None)  # (R, C, ndblk, TILE, TILE)
+    dblk_panel: jax.Array | None = data_field(default=None)  # (R, C, nwin_d+1)
+    dblk_stripe: jax.Array | None = data_field(default=None)
+    dblk_rp: jax.Array | None = data_field(default=None)  # (R, C, nwin_d, DG//4)
+    n_dblocks: int = static_field(default=0)
+    # quad-tail store (all-None when quad_tail_nnz was not set)
+    qvals: jax.Array | None = data_field(default=None)  # (R, C, nq, TILE)
+    qlrows: jax.Array | None = data_field(default=None)
+    qlcols: jax.Array | None = data_field(default=None)
+    q_rp: jax.Array | None = data_field(default=None)  # (R, C, nwin_q, QG)
+    qwin_panel: jax.Array | None = data_field(default=None)  # (R, C, nwin_q+1)
+    qwin_stripe: jax.Array | None = data_field(default=None)
+    n_qchunks: int = static_field(default=0)
+
+    @property
+    def n_slots(self) -> int:
+        """Flat per-device slot count of the value layout: chunk slots,
+        then dense-block elements ((col, row) within block), then quad
+        slots — the same region order as ``TiledSideC``'s perm/inv."""
+        return (
+            self.lrows.shape[2] * TILE
+            + self.n_dblocks * TILE * TILE
+            + self.n_qchunks * TILE
+        )
 
 
 @jax.tree_util.register_dataclass
@@ -151,6 +218,184 @@ def _pad_side(s: TiledSide, max_mc: int):
     return lr, lc, vv, perm
 
 
+def _zero_dense_store(n_stripes, nblk_win, blk_shape):
+    """Minimal valid all-zero windowed store: one window per stripe (the
+    flush-coverage requirement), ``nblk_win`` zero blocks each."""
+    nw = n_stripes
+    blocks = np.zeros((nw * nblk_win,) + blk_shape, np.float32)
+    panel = np.append(np.zeros(nw, np.int32), 0).astype(np.int32)
+    stripe = np.append(np.arange(nw, dtype=np.int32), -1).astype(np.int32)
+    return nw, blocks, panel, stripe
+
+
+def _pad_windows(panel, stripe, nwin0, add):
+    """Append ``add`` padding windows before the sentinel, repeating the last
+    real window's stripe (coverage makes it ``n_stripes - 1``) at panel 0 —
+    they zero-add into the open accumulator run; the sentinel still flushes."""
+    last = stripe[nwin0 - 1]
+    panel = np.concatenate(
+        [panel[:nwin0], np.zeros(add, np.int32), panel[nwin0:]]
+    ).astype(np.int32)
+    stripe = np.concatenate(
+        [stripe[:nwin0], np.full(add, last, np.int32), stripe[nwin0:]]
+    ).astype(np.int32)
+    return panel, stripe
+
+
+def _pad_compact_block(s: TiledSideC, nwin_t: int, nwin_d_t: int,
+                       nwin_q_t: int):
+    """Pad one device block's compact side to the uniform window counts.
+    Returns a dict of numpy arrays (the assembled global array's block) plus
+    the perm remapped to the padded flat slot layout."""
+    group = s.group
+    DG, QG = DENSE_GROUP, QUAD_GROUP
+    out = {}
+
+    lr, lc, vv = np.asarray(s.lrows), np.asarray(s.lcols), np.asarray(s.vals)
+    rp = np.asarray(s.chunk_rp)
+    wp, ws = np.asarray(s.win_panel), np.asarray(s.win_stripe)
+    add = nwin_t - s.n_windows
+    if add:
+        lr = np.concatenate([lr, np.zeros((add * group, TILE), np.int32)])
+        lc = np.concatenate([lc, np.zeros((add * group, TILE), np.int32)])
+        vv = np.concatenate([vv, np.zeros((add * group, TILE), np.float32)])
+        rp = np.concatenate([rp, np.zeros((add, group // 4), np.int32)])
+        wp, ws = _pad_windows(wp, ws, s.n_windows, add)
+    out.update(lrows=lr, lcols=lc, vals=vv, chunk_rp=rp, win_panel=wp,
+               win_stripe=ws)
+
+    if nwin_d_t:
+        if s.n_dblocks:
+            nwd0 = s.n_dblocks // DG
+            dv = np.asarray(s.dvals)
+            dp, dstr = np.asarray(s.dblk_panel), np.asarray(s.dblk_stripe)
+            drp = np.asarray(s.dblk_rp)
+        else:
+            nwd0, dv, dp, dstr = _zero_dense_store(
+                s.n_stripes, DG, (TILE, TILE)
+            )
+            drp = np.zeros((nwd0, DG // 4), np.int32)
+        addd = nwin_d_t - nwd0
+        if addd:
+            dv = np.concatenate(
+                [dv, np.zeros((addd * DG, TILE, TILE), np.float32)]
+            )
+            drp = np.concatenate([drp, np.zeros((addd, DG // 4), np.int32)])
+            dp, dstr = _pad_windows(dp, dstr, nwd0, addd)
+        out.update(dvals=dv, dblk_panel=dp, dblk_stripe=dstr, dblk_rp=drp)
+
+    if nwin_q_t:
+        if s.n_qchunks:
+            nwq0 = s.n_qchunks // QG
+            qv = np.asarray(s.qvals)
+            qlr, qlc = np.asarray(s.qlrows), np.asarray(s.qlcols)
+            qrp = np.asarray(s.q_rp)
+            qp, qs = np.asarray(s.qwin_panel), np.asarray(s.qwin_stripe)
+        else:
+            nwq0, qv, qp, qs = _zero_dense_store(s.n_stripes, QG, (TILE,))
+            qlr = np.zeros((nwq0 * QG, TILE), np.int32)
+            qlc = np.zeros((nwq0 * QG, TILE), np.int32)
+            qrp = np.zeros((nwq0, QG), np.int32)
+        addq = nwin_q_t - nwq0
+        if addq:
+            qv = np.concatenate([qv, np.zeros((addq * QG, TILE), np.float32)])
+            qlr = np.concatenate([qlr, np.zeros((addq * QG, TILE), np.int32)])
+            qlc = np.concatenate([qlc, np.zeros((addq * QG, TILE), np.int32)])
+            qrp = np.concatenate([qrp, np.zeros((addq, QG), np.int32)])
+            qp, qs = _pad_windows(qp, qs, nwq0, addq)
+        out.update(qvals=qv, qlrows=qlr, qlcols=qlc, q_rp=qrp,
+                   qwin_panel=qp, qwin_stripe=qs)
+
+    # remap perm into the padded flat slot space (chunk slots keep their
+    # indices — padding only appends; dense/quad regions shift by the grown
+    # earlier regions)
+    old_chunk = s.n_windows * group * TILE
+    old_dense = s.n_dblocks * TILE * TILE
+    new_chunk = nwin_t * group * TILE
+    new_dense = nwin_d_t * DG * TILE * TILE
+    perm = np.asarray(s.perm).copy()
+    in_dense = (perm >= old_chunk) & (perm < old_chunk + old_dense)
+    in_quad = perm >= old_chunk + old_dense
+    perm[in_dense] += new_chunk - old_chunk
+    perm[in_quad] += (new_chunk - old_chunk) + (new_dense - old_dense)
+    out["perm"] = perm
+    out["n_slots"] = new_chunk + new_dense + nwin_q_t * QG * TILE
+    return out
+
+
+def _assemble_compact(mesh, R, C, fwd_blocks, bwd_blocks, targets,
+                      local_p, local_n):
+    """Pad every owned block to the agreed window counts, build the per-device
+    bwd->fwd slot maps, and assemble the global sharded arrays for both
+    orientations of the compact layout."""
+    nwin_f, nwd_f, nwq_f, nwin_b, nwd_b, nwq_b = targets
+    b0f = next(iter(fwd_blocks.values()))
+    b0b = next(iter(bwd_blocks.values()))
+    padded_f = {
+        k: _pad_compact_block(s, nwin_f, nwd_f, nwq_f)
+        for k, s in fwd_blocks.items()
+    }
+    padded_b = {
+        k: _pad_compact_block(s, nwin_b, nwd_b, nwq_b)
+        for k, s in bwd_blocks.items()
+    }
+    Sf = next(iter(padded_f.values()))["n_slots"]
+    Sb = next(iter(padded_b.values()))["n_slots"]
+    if max(Sf, Sb) >= 2**31:
+        raise ValueError(
+            "compact device block exceeds int32 slot space; use more devices"
+        )
+    b2f_blocks = {}
+    for k in padded_f:
+        m = np.full(Sb, Sf, np.int32)
+        m[padded_b[k]["perm"]] = padded_f[k]["perm"]
+        b2f_blocks[k] = m
+
+    def asm(padded, name, fwd_lead, key_fn):
+        blk0 = padded[next(iter(padded))][name]
+        lead = (R, C) if fwd_lead else (C, R)
+        axes = (ROWS, COLS) if fwd_lead else (COLS, ROWS)
+        spec = P(*axes, *([None] * blk0.ndim))
+        return _assemble(
+            mesh, spec, lead + blk0.shape,
+            {k: v[name] for k, v in padded.items()}, key_fn,
+        )
+
+    def make_side(padded, src, nwin, nwd, nwq, fwd_lead, key_fn, lp, ln):
+        a = lambda name: asm(padded, name, fwd_lead, key_fn)
+        return _ShardedSideC(
+            a("lrows"), a("lcols"), a("vals"), a("chunk_rp"),
+            a("win_panel"), a("win_stripe"),
+            n_stripes=src.n_stripes,
+            n_colpanels=src.n_colpanels,
+            n_windows=nwin,
+            group=src.group,
+            panels_per_stripe=src.panels_per_stripe,
+            local_rows=lp,
+            local_cols=ln,
+            dvals=a("dvals") if nwd else None,
+            dblk_panel=a("dblk_panel") if nwd else None,
+            dblk_stripe=a("dblk_stripe") if nwd else None,
+            dblk_rp=a("dblk_rp") if nwd else None,
+            n_dblocks=nwd * DENSE_GROUP,
+            qvals=a("qvals") if nwq else None,
+            qlrows=a("qlrows") if nwq else None,
+            qlcols=a("qlcols") if nwq else None,
+            q_rp=a("q_rp") if nwq else None,
+            qwin_panel=a("qwin_panel") if nwq else None,
+            qwin_stripe=a("qwin_stripe") if nwq else None,
+            n_qchunks=nwq * QUAD_GROUP,
+        )
+
+    fwd = make_side(padded_f, b0f, nwin_f, nwd_f, nwq_f, True, _fwd_key,
+                    local_p, local_n)
+    bwd = make_side(padded_b, b0b, nwin_b, nwd_b, nwq_b, False, _bwd_key,
+                    local_n, local_p)
+    b2f = _assemble(mesh, P(COLS, ROWS, None), (C, R, Sb), b2f_blocks,
+                    _bwd_key)
+    return fwd, bwd, b2f
+
+
 def _assemble(mesh, spec, global_shape, blocks, key_fn):
     """Global sharded array from per-block host arrays this process owns.
     ``blocks[(i, j)]`` is the (i, j) device block WITHOUT the two leading
@@ -174,24 +419,34 @@ def _bwd_key(index):
 
 def shard_tiled(
     rows, cols, vals, shape, mesh: Mesh, *, stripe_tiles: int = 32,
-    local: bool = False,
+    local: bool = False, layout: str = "compact", group: int = 16,
+    dense_tile_nnz: int | None = None, quad_tail_nnz: int | None = None,
 ) -> ShardedTiled:
     """Build the 2-D sharded tiling from COO data for ``mesh``.
 
     **Process-local**: each process bins and materializes ONLY the (row-block,
     col-block) tiles owned by its own devices — at the 10M x 1M scale no host
     ever holds the whole matrix.  Cross-process coordination is two tiny
-    allgathers (the uniform chunk-padding bound and the value stats); the
+    allgathers (the uniform padding bounds and the value stats); the
     global arrays are assembled with ``jax.make_array_from_callback``.
 
     ``local=False`` (default): every process passes the FULL COO and keeps
     its share (convenient single-host path).  ``local=True``: each process
     passes only its own nonzeros (e.g. from its input-file shard); entries
     that belong to another process's blocks raise.
+
+    ``layout="compact"`` (default) stores each device block in the round-2
+    compact layout (nonempty-tile chunks, scalar-prefetched window maps) —
+    the measured-fastest single-chip layout; ``dense_tile_nnz`` /
+    ``quad_tail_nnz`` enable its hybrid dense-tile and quad-tail stores per
+    block.  ``layout="grid"`` keeps the uniform stripe x panel grid.
     """
     p, n = shape
     R = mesh.shape[ROWS]
     C = mesh.shape[COLS]
+    if layout not in ("grid", "compact"):
+        raise ValueError("layout must be 'grid' or 'compact'")
+    compact = layout == "compact"
     rows = np.asarray(rows, np.int32)
     cols = np.asarray(cols, np.int32)
     vals = np.asarray(vals, np.float32)
@@ -216,23 +471,49 @@ def shard_tiled(
     for (i, j) in owned:
         m = (bi == i) & (bj == j)
         covered |= m
-        fwd_blocks[(i, j)] = _build_side(
-            rows[m] - i * local_p, cols[m] - j * local_n, vals[m],
-            local_p, local_n, stripe_tiles,
-        )
-        bwd_blocks[(i, j)] = _build_side(
-            cols[m] - j * local_n, rows[m] - i * local_p, vals[m],
-            local_n, local_p, stripe_tiles,
-        )
+        if compact:
+            fwd_blocks[(i, j)] = _build_side_compact(
+                rows[m] - i * local_p, cols[m] - j * local_n, vals[m],
+                local_p, local_n, stripe_tiles, group, dense_tile_nnz,
+                1, quad_tail_nnz,
+            )
+            bwd_blocks[(i, j)] = _build_side_compact(
+                cols[m] - j * local_n, rows[m] - i * local_p, vals[m],
+                local_n, local_p, stripe_tiles, group, dense_tile_nnz,
+                1, quad_tail_nnz,
+            )
+        else:
+            fwd_blocks[(i, j)] = _build_side(
+                rows[m] - i * local_p, cols[m] - j * local_n, vals[m],
+                local_p, local_n, stripe_tiles,
+            )
+            bwd_blocks[(i, j)] = _build_side(
+                cols[m] - j * local_n, rows[m] - i * local_p, vals[m],
+                local_n, local_p, stripe_tiles,
+            )
     if local and not covered.all():
         raise ValueError(
             "local=True: some nonzeros fall in blocks owned by other "
             "processes; pass each process only its own entries."
         )
 
-    # uniform chunk padding + value stats: the only cross-process agreement
-    mc_f = max((s.max_chunks for s in fwd_blocks.values()), default=1)
-    mc_b = max((s.max_chunks for s in bwd_blocks.values()), default=1)
+    # uniform padding bounds + value stats: the only cross-process agreement
+    if compact:
+        pads_local = np.asarray(
+            [
+                max(s.n_windows for s in fwd_blocks.values()),
+                max(s.n_dblocks // DENSE_GROUP for s in fwd_blocks.values()),
+                max(s.n_qchunks // QUAD_GROUP for s in fwd_blocks.values()),
+                max(s.n_windows for s in bwd_blocks.values()),
+                max(s.n_dblocks // DENSE_GROUP for s in bwd_blocks.values()),
+                max(s.n_qchunks // QUAD_GROUP for s in bwd_blocks.values()),
+            ],
+            np.int64,
+        )
+    else:
+        mc_f = max((s.max_chunks for s in fwd_blocks.values()), default=1)
+        mc_b = max((s.max_chunks for s in bwd_blocks.values()), default=1)
+        pads_local = np.asarray([mc_f, mc_b], np.int64)
     ov = vals[covered] if multiproc else vals
     stats_local = np.asarray(
         [ov.sum(dtype=np.float64), (ov.astype(np.float64) ** 2).sum(),
@@ -242,10 +523,8 @@ def shard_tiled(
     if multiproc:
         from jax.experimental import multihost_utils
 
-        g = multihost_utils.process_allgather(
-            np.asarray([mc_f, mc_b], np.int64)
-        )
-        mc_f, mc_b = int(g[..., 0].max()), int(g[..., 1].max())
+        g = multihost_utils.process_allgather(pads_local)
+        pads_local = g.reshape(-1, len(pads_local)).max(axis=0)
         sg = multihost_utils.process_allgather(stats_local)
         stats_local = np.asarray(
             [sg[..., 0].sum(), sg[..., 1].sum(), sg[..., 2].min()]
@@ -254,6 +533,14 @@ def shard_tiled(
         stats_local[2] = 0.0
     stats = jnp.asarray(stats_local, jnp.float32)
 
+    if compact:
+        fwd, bwd, b2f = _assemble_compact(
+            mesh, R, C, fwd_blocks, bwd_blocks,
+            tuple(int(v) for v in pads_local), local_p, local_n,
+        )
+        return ShardedTiled(fwd, bwd, stats, b2f, (p, n), (R, C), False, mesh)
+
+    mc_f, mc_b = int(pads_local[0]), int(pads_local[1])
     nsf, ncf, tpsf, stf, ntf = _side_meta(local_p, local_n, stripe_tiles, mc_f)
     nsb, ncb, tpsb, stb, ntb = _side_meta(local_n, local_p, stripe_tiles, mc_b)
 
@@ -339,6 +626,111 @@ def _local_matmul_jnp(side_meta, lrows, lcols, vals, Dt_local):
     return out.at[:, flat_rows].add(contrib)
 
 
+def _compact_operand_names(side: _ShardedSideC):
+    names = ["lrows", "lcols", "vals", "chunk_rp", "win_panel", "win_stripe"]
+    if side.n_dblocks:
+        names += ["dvals", "dblk_panel", "dblk_stripe", "dblk_rp"]
+    if side.n_qchunks:
+        names += ["qvals", "qlrows", "qlcols", "q_rp", "qwin_panel",
+                  "qwin_stripe"]
+    return names
+
+
+def _local_matmul_compact(side: _ShardedSideC, a: dict, Dt_local, precision):
+    """Per-device ``X_block @ D_local`` on the compact layout — the same
+    three kernels the single-chip path runs (chunk windows + hybrid dense
+    blocks + quad-tail chunks)."""
+    if jax.default_backend() == "cpu":
+        return _local_matmul_jnp_compact(side, a, Dt_local)
+    from .pallas.sparse import (
+        _tiled_dense_impl,
+        _tiled_matmul_compact_impl,
+        _tiled_quad_impl,
+    )
+
+    stripe_width = side.panels_per_stripe * TILE
+    p_pad = side.n_stripes * stripe_width
+    meta = (side.n_stripes, side.n_colpanels, side.n_windows, side.group,
+            stripe_width, p_pad, 1)
+    out = _tiled_matmul_compact_impl(
+        a["chunk_rp"], a["win_panel"], a["win_stripe"],
+        a["lrows"], a["lcols"], a["vals"], Dt_local, meta, False, precision,
+    )
+    if side.n_dblocks:
+        out = out + _tiled_dense_impl(
+            a["dblk_rp"], a["dblk_panel"], a["dblk_stripe"], a["dvals"],
+            Dt_local, (side.n_dblocks, stripe_width, p_pad), False,
+        )
+    if side.n_qchunks:
+        out = out + _tiled_quad_impl(
+            a["q_rp"], a["qwin_panel"], a["qwin_stripe"],
+            a["qlrows"], a["qlcols"], a["qvals"], Dt_local,
+            (side.n_qchunks // QUAD_GROUP, QUAD_GROUP, stripe_width, p_pad),
+            False, precision,
+        )
+    return out
+
+
+def _slot_coords_compact(side: _ShardedSideC, a: dict):
+    """(local row, local col) per slot of the flat compact value layout
+    (chunk slots, then dense-block elements in (col, row) order, then quad
+    slots).  Padding slots get in-range coords; their value is exactly 0, and
+    every consumer weights by value."""
+    st = side.panels_per_stripe
+    nchunks = side.n_windows * side.group
+    c = jnp.arange(nchunks)
+    w = c // side.group
+    word = a["chunk_rp"].reshape(-1)[c // 4]
+    rp = (word >> (8 * (c % 4))) & 0xFF
+    row_c = ((a["win_stripe"][w] * st + rp) * TILE)[:, None] + a["lrows"]
+    col_c = (a["win_panel"][w] * TILE)[:, None] + a["lcols"]
+    rows = [row_c.reshape(-1)]
+    cols = [col_c.reshape(-1)]
+    if side.n_dblocks:
+        b = jnp.arange(side.n_dblocks)
+        wd = b // DENSE_GROUP
+        wordd = a["dblk_rp"].reshape(-1)[b // 4]
+        rpd = (wordd >> (8 * (b % 4))) & 0xFF
+        i = jnp.arange(TILE)
+        row_d = ((a["dblk_stripe"][wd] * st + rpd) * TILE)[:, None, None] \
+            + i[None, None, :]
+        col_d = (a["dblk_panel"][wd] * TILE)[:, None, None] + i[None, :, None]
+        shape = (side.n_dblocks, TILE, TILE)
+        rows.append(jnp.broadcast_to(row_d, shape).reshape(-1))
+        cols.append(jnp.broadcast_to(col_d, shape).reshape(-1))
+    if side.n_qchunks:
+        qc = jnp.arange(side.n_qchunks)
+        wq = qc // QUAD_GROUP
+        seg = jnp.arange(TILE) // QUAD_SEG  # sub-segment of each lane
+        rp_q = (a["q_rp"].reshape(-1)[qc][:, None] >> (8 * seg[None, :])) & 0xFF
+        row_q = ((a["qwin_stripe"][wq][:, None] * st + rp_q) * TILE) \
+            + a["qlrows"]
+        col_q = (a["qwin_panel"][wq] * TILE)[:, None] + a["qlcols"]
+        rows.append(row_q.reshape(-1))
+        cols.append(col_q.reshape(-1))
+    return jnp.concatenate(rows), jnp.concatenate(cols)
+
+
+def _flat_vals_compact(side: _ShardedSideC, a: dict):
+    v = [a["vals"].reshape(-1)]
+    if side.n_dblocks:
+        v.append(a["dvals"].reshape(-1))
+    if side.n_qchunks:
+        v.append(a["qvals"].reshape(-1))
+    return jnp.concatenate(v)
+
+
+def _local_matmul_jnp_compact(side: _ShardedSideC, a: dict, Dt_local):
+    """jnp (gather + scatter-add) equivalent of the compact kernels on the
+    local arrays (the CPU path; see _local_matmul for why)."""
+    rows_pad = side.n_stripes * side.panels_per_stripe * TILE
+    r, c = _slot_coords_compact(side, a)
+    v = _flat_vals_compact(side, a)
+    contrib = Dt_local[:, c] * v[None, :]
+    out = jnp.zeros((Dt_local.shape[0], rows_pad), contrib.dtype)
+    return out.at[:, r].add(contrib)
+
+
 @partial(jax.jit, static_argnames=("mesh", "precision", "transposed"))
 def _sharded_matmul(X: ShardedTiled, D, mesh, precision="exact", transposed=False):
     from jax import shard_map
@@ -352,20 +744,29 @@ def _sharded_matmul(X: ShardedTiled, D, mesh, precision="exact", transposed=Fals
     local_in = side.local_cols
     n_groups = C if not transposed else R
     Dp = jnp.pad(D, ((0, local_in * n_groups - D.shape[0]), (0, K - k)))
+    lead = (COLS, ROWS) if transposed else (ROWS, COLS)
+    compact = isinstance(side, _ShardedSideC)
+    names = (
+        _compact_operand_names(side) if compact
+        else ["lrows", "lcols", "vals"]
+    )
+    ops = [getattr(side, nm) for nm in names]
 
-    def local_fn(lrows, lcols, vals, Dloc):
-        # lrows: (1, 1, ntiles, TILE); Dloc: (local_in, K)
-        out_local = _local_matmul(
-            side, lrows[0, 0], lcols[0, 0], vals[0, 0], Dloc.T, precision
-        )  # (K, local_rows_pad)
+    def local_fn(*args):
+        a = {nm: arr[0, 0] for nm, arr in zip(names, args[:-1])}
+        Dloc = args[-1]  # (local_in, K)
+        if compact:
+            out_local = _local_matmul_compact(side, a, Dloc.T, precision)
+        else:
+            out_local = _local_matmul(
+                side, a["lrows"], a["lcols"], a["vals"], Dloc.T, precision
+            )  # (K, local_rows_pad)
         out_local = jax.lax.psum(out_local, axis_red)
         return out_local[None]  # (1, K, local_rows_pad)
 
-    in_specs = (
-        (P(ROWS, COLS, None, None), P(ROWS, COLS, None, None), P(ROWS, COLS, None, None), P(COLS, None))
-        if not transposed
-        else (P(COLS, ROWS, None, None), P(COLS, ROWS, None, None), P(COLS, ROWS, None, None), P(ROWS, None))
-    )
+    in_specs = tuple(
+        P(*lead, *([None] * (o.ndim - 2))) for o in ops
+    ) + (P(axis_red, None),)
     out_spec = P(axis_out, None, None)
 
     out = shard_map(
@@ -374,7 +775,7 @@ def _sharded_matmul(X: ShardedTiled, D, mesh, precision="exact", transposed=Fals
         in_specs=in_specs,
         out_specs=out_spec,
         check_vma=False,
-    )(side.lrows, side.lcols, side.vals, Dp)
+    )(*ops, Dp)
     # out: (R or C, K, stripes_rows_pad); each device block covers exactly
     # local_rows global rows — drop the per-device stripe padding before
     # concatenating blocks.
@@ -436,10 +837,66 @@ def _sharded_sddmm_impl(X: ShardedTiled, W, H, mesh):
 
     side = X.fwd
     R, C = X.mesh_shape
-    nt = side.lrows.shape[2]
     local_p, local_n = side.local_rows, side.local_cols
     Wp = jnp.pad(W, ((0, local_p * R - W.shape[0]), (0, 0)))
     Htp = jnp.pad(H.T, ((0, local_n * C - H.shape[1]), (0, 0)))
+
+    if isinstance(side, _ShardedSideC):
+        names = _compact_operand_names(side)
+        meta_ops = [getattr(side, nm) for nm in names]
+        S = side.n_slots
+        nchunk_slots = side.n_windows * side.group * TILE
+        nd = side.n_dblocks * TILE * TILE
+
+        def local_fn(Wl, Htl, *args):
+            a = {nm: arr[0, 0] for nm, arr in zip(names, args)}
+            grow, gcol = _slot_coords_compact(side, a)
+            # clip: phantom row panels in the last stripe gather garbage
+            # rows, but those are all-padding slots (value 0) masked by
+            # every consumer.  Dense-block elements go through a per-block
+            # einsum instead of the k-wide flat gather: a block stores
+            # TILE*TILE samples for >=dense_thresh nonzeros, so the flat
+            # gather would blow memory at scale.
+            if nd:
+                rcq = jnp.concatenate([grow[:nchunk_slots], grow[nchunk_slots + nd:]])
+                ccq = jnp.concatenate([gcol[:nchunk_slots], gcol[nchunk_slots + nd:]])
+            else:
+                rcq, ccq = grow, gcol
+            wr = jnp.take(Wl, rcq, axis=0, mode="clip")
+            hc = jnp.take(Htl, ccq, axis=0, mode="clip")
+            wh_cq = jnp.sum(wr * hc, axis=1)
+            if nd:
+                # block row/col bases from the stored window metadata
+                b = jnp.arange(side.n_dblocks)
+                wd = b // DENSE_GROUP
+                wordd = a["dblk_rp"].reshape(-1)[b // 4]
+                rpd = (wordd >> (8 * (b % 4))) & 0xFF
+                rbase = (a["dblk_stripe"][wd] * side.panels_per_stripe + rpd) * TILE
+                cbase = a["dblk_panel"][wd] * TILE
+                i = jnp.arange(TILE)
+                Wb = jnp.take(Wl, rbase[:, None] + i[None, :], axis=0,
+                              mode="clip")  # (ndblk, TILE, k)
+                Hb = jnp.take(Htl, cbase[:, None] + i[None, :], axis=0,
+                              mode="clip")
+                wh_d = jnp.einsum("bik,bjk->bji", Wb, Hb).reshape(-1)
+                wh = jnp.concatenate(
+                    [wh_cq[:nchunk_slots], wh_d, wh_cq[nchunk_slots:]]
+                )
+            else:
+                wh = wh_cq
+            return wh.reshape(1, 1, S)
+
+        return shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(ROWS, None), P(COLS, None)) + tuple(
+                P(ROWS, COLS, *([None] * (o.ndim - 2))) for o in meta_ops
+            ),
+            out_specs=P(ROWS, COLS, None),
+            check_vma=False,
+        )(Wp, Htp, *meta_ops)
+
+    nt = side.lrows.shape[2]
     row_off, col_off = _panel_offsets(side, nt)
 
     def local_fn(lrows, lcols, Wl, Htl):
@@ -480,24 +937,47 @@ def sharded_sddmm(X: ShardedTiled, W, H, mesh=None):
 def _propagate_bwd(X: ShardedTiled, new_fwd_vals, mesh):
     from jax import shard_map
 
-    ntb = X.bwd.lrows.shape[2]
+    compact = isinstance(X.bwd, _ShardedSideC)
+    Sb = X.bwd.n_slots if compact else X.bwd.lrows.shape[2] * TILE
 
     def local_fn(fv, b2f):
         flat = fv.reshape(-1)
         out = jnp.take(flat, b2f[0, 0], axis=0, mode="fill", fill_value=0)
-        return out.reshape(1, 1, ntb, TILE)
+        if compact:
+            return out.reshape(1, 1, Sb)
+        return out.reshape(1, 1, Sb // TILE, TILE)
 
+    fv_spec = P(ROWS, COLS, *([None] * (new_fwd_vals.ndim - 2)))
+    out_spec = P(COLS, ROWS, None) if compact else P(COLS, ROWS, None, None)
     return shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(ROWS, COLS, None, None), P(COLS, ROWS, None)),
-        out_specs=P(COLS, ROWS, None, None),
+        in_specs=(fv_spec, P(COLS, ROWS, None)),
+        out_specs=out_spec,
         check_vma=False,
     )(new_fwd_vals, X.b2f)
 
 
+def _split_side_vals_compact(side: _ShardedSideC, flat):
+    """Split a (lead0, lead1, n_slots) flat value layout back into the
+    side's chunk/dense/quad value arrays."""
+    l0, l1 = flat.shape[:2]
+    nchunk = side.n_windows * side.group
+    off = nchunk * TILE
+    kw = {"vals": flat[..., :off].reshape(l0, l1, nchunk, TILE)}
+    if side.n_dblocks:
+        nd = side.n_dblocks * TILE * TILE
+        kw["dvals"] = flat[..., off : off + nd].reshape(
+            l0, l1, side.n_dblocks, TILE, TILE
+        )
+        off += nd
+    if side.n_qchunks:
+        kw["qvals"] = flat[..., off:].reshape(l0, l1, side.n_qchunks, TILE)
+    return dataclasses.replace(side, **kw)
+
+
 def sharded_scale_values(X: ShardedTiled, new_values, mesh=None) -> ShardedTiled:
-    """Same pattern, new values (fwd chunk-slot layout).  The bwd orientation
+    """Same pattern, new values (fwd value layout).  The bwd orientation
     is refreshed by one local gather per device through ``b2f``.  ``stats``
     are recomputed from the new values so ``matops.sq_norm``/``mean``/
     ``all_nonneg`` stay correct on the rescaled matrix (padding slots hold
@@ -510,18 +990,28 @@ def sharded_scale_values(X: ShardedTiled, new_values, mesh=None) -> ShardedTiled
     bwd_vals = _propagate_bwd(X, new_values, mesh)
     v32 = new_values.astype(jnp.float32)
     stats = jnp.stack([jnp.sum(v32), jnp.sum(v32 * v32), jnp.min(v32)])
-    return dataclasses.replace(
-        X,
-        fwd=dataclasses.replace(X.fwd, vals=new_values),
-        bwd=dataclasses.replace(X.bwd, vals=bwd_vals),
-        stats=stats,
-    )
+    if isinstance(X.fwd, _ShardedSideC):
+        fwd = _split_side_vals_compact(X.fwd, new_values)
+        bwd = _split_side_vals_compact(X.bwd, bwd_vals)
+    else:
+        fwd = dataclasses.replace(X.fwd, vals=new_values)
+        bwd = dataclasses.replace(X.bwd, vals=bwd_vals)
+    return dataclasses.replace(X, fwd=fwd, bwd=bwd, stats=stats)
 
 
 def sharded_nnz_values(X: ShardedTiled):
-    """(R, C, ntiles, TILE) values in the fwd chunk-slot layout; padding
-    slots are exactly 0."""
-    return X.fwd.vals
+    """Values in the fwd layout — (R, C, ntiles, TILE) chunk slots for the
+    grid layout, flat (R, C, n_slots) (chunk slots, dense elements, quad
+    slots) for compact; padding slots are exactly 0."""
+    side = X.fwd
+    if isinstance(side, _ShardedSideC):
+        parts = [side.vals.reshape(*side.vals.shape[:2], -1)]
+        if side.n_dblocks:
+            parts.append(side.dvals.reshape(*side.dvals.shape[:2], -1))
+        if side.n_qchunks:
+            parts.append(side.qvals.reshape(*side.qvals.shape[:2], -1))
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=2)
+    return side.vals
 
 
 @partial(jax.jit, static_argnames=("mesh", "which"))
@@ -529,6 +1019,32 @@ def _sharded_ids_impl(X: ShardedTiled, mesh, which: str):
     from jax import shard_map
 
     side = X.fwd
+    if isinstance(side, _ShardedSideC):
+        names = _compact_operand_names(side)
+        meta_ops = [getattr(side, nm) for nm in names]
+        S = side.n_slots
+
+        def local_fn(*args):
+            a = {nm: arr[0, 0] for nm, arr in zip(names, args)}
+            grow, gcol = _slot_coords_compact(side, a)
+            if which == "col":
+                j = jax.lax.axis_index(COLS)
+                g = gcol + j * side.local_cols
+            else:
+                i = jax.lax.axis_index(ROWS)
+                g = grow + i * side.local_rows
+            return g.astype(jnp.int32).reshape(1, 1, S)
+
+        return shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=tuple(
+                P(ROWS, COLS, *([None] * (o.ndim - 2))) for o in meta_ops
+            ),
+            out_specs=P(ROWS, COLS, None),
+            check_vma=False,
+        )(*meta_ops)
+
     nt = side.lrows.shape[2]
     row_off, col_off = _panel_offsets(side, nt)
 

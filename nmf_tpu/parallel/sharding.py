@@ -73,9 +73,14 @@ def shard_problem(mesh: Mesh, X, W, H):
 
         from ..ops.sparse_shard import shard_tiled
 
+        kw = {}
+        if X.build_opts is not None:
+            st, layout, group, dense, quad = X.build_opts
+            kw = dict(stripe_tiles=st, layout=layout, group=group,
+                      dense_tile_nnz=dense, quad_tail_nnz=quad)
         X = shard_tiled(
             np.asarray(X.row_idx), np.asarray(X.col_idx), np.asarray(X.values),
-            X.shape, mesh,
+            X.shape, mesh, **kw,
         )
     elif matops.is_sparse(X):  # BCOO
         import numpy as np

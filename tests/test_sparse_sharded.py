@@ -24,10 +24,19 @@ def make(seed=0, p=600, n=500, density=0.05):
 
 
 @requires_multidevice
-def test_sharded_products_match_dense():
+@pytest.mark.parametrize(
+    "opts",
+    [
+        dict(layout="grid"),
+        dict(layout="compact"),
+        dict(layout="compact", dense_tile_nnz=100, quad_tail_nnz=16),
+    ],
+    ids=["grid", "compact", "compact-hybrid"],
+)
+def test_sharded_products_match_dense(opts):
     Xd, r, c, rng = make()
     mesh = make_mesh((2, 4))
-    X = shard_tiled(r, c, Xd[r, c], Xd.shape, mesh, stripe_tiles=2)
+    X = shard_tiled(r, c, Xd[r, c], Xd.shape, mesh, stripe_tiles=2, **opts)
     D = jnp.asarray(rng.random((Xd.shape[1], 12)).astype(np.float32))
     np.testing.assert_allclose(
         np.asarray(sharded_mm(X, D)), Xd @ np.asarray(D), rtol=3e-5, atol=1e-4
@@ -121,6 +130,70 @@ def test_sharded_scale_values_updates_both_orientations():
     np.testing.assert_allclose(
         np.asarray(matops.mtm(D2.T, Y).T), Yd.T @ np.asarray(D2), rtol=3e-5, atol=1e-4
     )
+
+
+@requires_multidevice
+@pytest.mark.parametrize("alg", ["multmse", "multdiv", "cd", "greedycd"])
+def test_sharded_compact_hybrid_solvers_match_dense(alg):
+    """Solvers on the compact layout WITH dense-tile and quad-tail stores —
+    the full round-3 single-chip kernel toolkit on the mesh.  The very
+    sparse tail plus a dense head makes all three stores non-empty in both
+    orientations."""
+    rng = np.random.default_rng(7)
+    p, n, k = 300, 260, 3
+    Xd = (rng.random((p, n)) * (rng.random((p, n)) < 0.01)).astype(np.float32)
+    Xd[:40, :40] += ((rng.random((40, 40)) < 0.8) * rng.random((40, 40))).astype(
+        np.float32
+    )
+    r, c = np.nonzero(Xd)
+    mesh = make_mesh((2, 4))
+    X = shard_tiled(
+        r, c, Xd[r, c], Xd.shape, mesh, stripe_tiles=1,
+        dense_tile_nnz=100, quad_tail_nnz=16,
+    )
+    assert X.fwd.n_dblocks and X.fwd.n_qchunks  # all three stores live
+    algs = {
+        "multmse": nmf_tpu.MultUpdate(obj="mse", maxiter=5),
+        "multdiv": nmf_tpu.MultUpdate(obj="div", maxiter=5),
+        "cd": nmf_tpu.CoordinateDescent(maxiter=5),
+        "greedycd": nmf_tpu.GreedyCD(maxiter=4),
+    }
+    W0 = np.abs(rng.random((p, k))).astype(np.float32)
+    H0 = np.abs(rng.random((k, n))).astype(np.float32)
+    dense = nmf_tpu.solve(algs[alg], jnp.asarray(Xd), jnp.asarray(W0), jnp.asarray(H0))
+    Wd = jax.device_put(jnp.asarray(W0), w_sharding(mesh))
+    Hd = jax.device_put(jnp.asarray(H0), h_sharding(mesh))
+    sp = nmf_tpu.solve(algs[alg], X, Wd, Hd)
+    assert sp.niters == dense.niters
+    np.testing.assert_allclose(
+        np.asarray(sp.W), np.asarray(dense.W), rtol=5e-4, atol=1e-4
+    )
+    assert np.isclose(sp.objvalue, dense.objvalue, rtol=1e-4)
+
+
+@requires_multidevice
+def test_sharded_compact_front_door_carries_build_opts():
+    """nnmf(TiledCSR, mesh=...) rebuilds the ShardedTiled with the same
+    layout options the TiledCSR was built with (dense/quad stores survive
+    the front door)."""
+    from nmf_tpu.ops.sparse_format import build_tiled
+    from nmf_tpu.parallel.sharding import shard_problem
+
+    rng = np.random.default_rng(8)
+    p, n = 300, 260
+    Xd = (rng.random((p, n)) * (rng.random((p, n)) < 0.01)).astype(np.float32)
+    Xd[:30, :30] += np.abs(rng.random((30, 30))).astype(np.float32)
+    r, c = np.nonzero(Xd)
+    Xt = build_tiled(
+        r, c, Xd[r, c], Xd.shape, stripe_tiles=1, dense_tile_nnz=100,
+        quad_tail_nnz=16,
+    )
+    mesh = make_mesh((2, 4))
+    W = jnp.zeros((p, 2), jnp.float32)
+    H = jnp.zeros((2, n), jnp.float32)
+    Xs, _, _ = shard_problem(mesh, Xt, W, H)
+    assert Xs.fwd.n_dblocks > 0
+    assert Xs.fwd.n_qchunks > 0
 
 
 @requires_multidevice

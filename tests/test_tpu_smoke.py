@@ -116,3 +116,44 @@ def test_sharded_single_chip_mesh():
     X, W, H = shard_problem(mesh, X, W, H)
     res = nmf_tpu.solve(nmf_tpu.MultUpdate(obj="mse", maxiter=5), X, W, H)
     assert res.niters == 5 and np.isfinite(res.objvalue)
+
+
+def test_sharded_sparse_compact_single_chip_mesh():
+    """The compact sharded sparse kernels (chunk windows + dense-tile +
+    quad-tail) lower through Mosaic inside shard_map on a (1, 1) mesh and
+    match the dense products — the CPU suite only ever runs the jnp
+    fallback inside shard_map, so this is the only Mosaic coverage of the
+    mesh-parallel compact path."""
+    from nmf_tpu.ops.sparse_shard import shard_tiled, sharded_mm, sharded_mtm
+    from nmf_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(5)
+    p, n = 2000, 1500
+    Xd = (rng.random((p, n)) * (rng.random((p, n)) < 0.005)).astype(np.float32)
+    Xd[:130, :130] += (
+        (rng.random((130, 130)) < 0.9) * rng.random((130, 130))
+    ).astype(np.float32)
+    r, c = np.nonzero(Xd)
+    mesh = make_mesh((1, 1), devices=jax.devices()[:1])
+    X = shard_tiled(
+        r, c, Xd[r, c], Xd.shape, mesh, dense_tile_nnz=130, quad_tail_nnz=32
+    )
+    assert X.fwd.n_dblocks and X.fwd.n_qchunks
+    D = jnp.asarray(rng.random((n, 64)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(sharded_mm(X, D)), Xd @ np.asarray(D), rtol=3e-5, atol=1e-3
+    )
+    D2 = jnp.asarray(rng.random((p, 64)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(sharded_mtm(X, D2)), Xd.T @ np.asarray(D2), rtol=3e-5,
+        atol=1e-3,
+    )
+    # one divergence sweep exercises sddmm/scale_values/ids on the compact
+    # sharded layout on-chip
+    res = nmf_tpu.solve(
+        nmf_tpu.MultUpdate(obj="div", maxiter=3),
+        X,
+        jnp.asarray(np.abs(rng.random((p, 8))).astype(np.float32)),
+        jnp.asarray(np.abs(rng.random((8, n))).astype(np.float32)),
+    )
+    assert res.niters == 3 and np.isfinite(res.objvalue)
