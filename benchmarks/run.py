@@ -533,7 +533,7 @@ def config5_distributed_worker(args):
     v = np.concatenate(vs) if vs else np.zeros(0, np.float32)
     X = shard_tiled(
         r, c, v, (p, n), mesh, stripe_tiles=4, local=True,
-        layout=args.layout,
+        layout=args.layout, order=args.order,
         dense_tile_nnz=args.dense_tile_nnz or None,
         quad_tail_nnz=args.quad_tail_nnz or None,
     )
@@ -620,7 +620,7 @@ def config5_launch(args):
                     "--bp", str(args.bp), "--bn", str(args.bn),
                     "--density", str(args.density),
                     "--n-small", str(args.n_small), "--n-big", str(args.n_big),
-                    "--layout", args.layout,
+                    "--layout", args.layout, "--order", args.order,
                     "--dense-tile-nnz", str(args.dense_tile_nnz),
                     "--quad-tail-nnz", str(args.quad_tail_nnz),
                 ] + (["--no-spa"] if args.no_spa else []),
@@ -698,6 +698,8 @@ def main():
     ap.add_argument("--no-spa", action="store_true")
     ap.add_argument("--layout", default="compact",
                     help="ShardedTiled block layout: compact (default) | grid")
+    ap.add_argument("--order", default="degree",
+                    help="per-block renumbering: degree (default) | natural")
     ap.add_argument("--dense-tile-nnz", type=int, default=0,
                     help="hybrid dense-tile threshold for config5d (0 = off)")
     ap.add_argument("--quad-tail-nnz", type=int, default=0,

@@ -2,7 +2,10 @@
 
 2-D decomposition matching the canonical dense layout (X: P(rows, cols)):
 device (i, j) owns the nonzeros whose row falls in row-block i and column in
-col-block j, stored as a local TiledSide in *local* coordinates.
+col-block j, stored in *local* coordinates — by default as a compact
+TiledSideC (the measured-fastest single-chip layout, incl. the hybrid
+dense-tile / quad-tail stores and per-block degree renumbering), optionally
+as the round-1 grid TiledSide (``layout="grid"``).
 
 * ``X @ D``  (p x k): D is row-sharded over the mesh "cols" axis (each device
   holds exactly its column panels), every device runs the single-chip Pallas
@@ -159,6 +162,18 @@ class ShardedTiled:
     mesh_shape: tuple[int, int] = static_field(default=(1, 1))
     transposed: bool = static_field(default=False)
     mesh: Mesh | None = static_field(default=None)
+    # Per-block degree renumbering (order="degree"; all None for natural
+    # order).  Row-block i's local rows are renumbered by descending degree
+    # over the WHOLE block row (consistent across mesh columns, so psum
+    # partials align); same per column block.  ``*_perm[renumbered] =
+    # original local id``, ``*_rank[original] = renumbered``.  The factor
+    # gathers that bridge the orderings are device-local: the kernel's D
+    # operand is gathered through perm on the way in and its output through
+    # rank on the way out — zero extra collectives.
+    row_perm: jax.Array | None = data_field(default=None)  # (R, local_p) int32
+    row_rank: jax.Array | None = data_field(default=None)
+    col_perm: jax.Array | None = data_field(default=None)  # (C, local_n) int32
+    col_rank: jax.Array | None = data_field(default=None)
 
     @property
     def dtype(self):
@@ -409,6 +424,20 @@ def _assemble(mesh, spec, global_shape, blocks, key_fn):
     )
 
 
+def _asm_perm(mesh, axis, blk):
+    """(N, L) per-mesh-row (or -column) permutation table, sharded over
+    ``axis`` and replicated along the other mesh axis.  Every process
+    computes the full table (degrees are globally agreed), so any shard can
+    be served locally."""
+
+    def cb(index):
+        return blk[index[0].start or 0][None]
+
+    return jax.make_array_from_callback(
+        blk.shape, NamedSharding(mesh, P(axis, None)), cb
+    )
+
+
 def _fwd_key(index):
     return (index[0].start or 0, index[1].start or 0)
 
@@ -421,6 +450,7 @@ def shard_tiled(
     rows, cols, vals, shape, mesh: Mesh, *, stripe_tiles: int = 32,
     local: bool = False, layout: str = "compact", group: int = 16,
     dense_tile_nnz: int | None = None, quad_tail_nnz: int | None = None,
+    order: str = "degree",
 ) -> ShardedTiled:
     """Build the 2-D sharded tiling from COO data for ``mesh``.
 
@@ -440,6 +470,14 @@ def shard_tiled(
     the measured-fastest single-chip layout; ``dense_tile_nnz`` /
     ``quad_tail_nnz`` enable its hybrid dense-tile and quad-tail stores per
     block.  ``layout="grid"`` keeps the uniform stripe x panel grid.
+
+    ``order="degree"`` (default with compact) renumbers each block row's
+    local rows (and block column's local cols) by descending degree over the
+    whole block row/column, so power-law heads pack into dense tiles exactly
+    like the single-chip degree sort — the orderings are per-mesh-row /
+    per-mesh-column consistent, so the psum partials align and the factor
+    perm gathers stay device-local.  ``order="natural"`` keeps original
+    coordinates (the only choice for ``layout="grid"``).
     """
     p, n = shape
     R = mesh.shape[ROWS]
@@ -447,6 +485,10 @@ def shard_tiled(
     if layout not in ("grid", "compact"):
         raise ValueError("layout must be 'grid' or 'compact'")
     compact = layout == "compact"
+    if order not in ("degree", "natural"):
+        raise ValueError("order must be 'degree' or 'natural'")
+    if not compact:
+        order = "natural"
     rows = np.asarray(rows, np.int32)
     cols = np.asarray(cols, np.int32)
     vals = np.asarray(vals, np.float32)
@@ -464,6 +506,36 @@ def shard_tiled(
         if (not multiproc) or dev_grid[i, j].process_index == pid
     ]
 
+    # per-block degree renumbering: degrees over the whole block row/column
+    # so every device in a mesh row/column agrees on the ordering
+    if order == "degree":
+        rdeg = np.bincount(rows, minlength=local_p * R).astype(np.int64)
+        cdeg = np.bincount(cols, minlength=local_n * C).astype(np.int64)
+        if multiproc and local:
+            from jax.experimental import multihost_utils
+
+            g = multihost_utils.process_allgather(
+                np.concatenate([rdeg, cdeg])
+            ).reshape(-1, len(rdeg) + len(cdeg)).sum(axis=0)
+            rdeg, cdeg = g[: len(rdeg)], g[len(rdeg):]
+        row_perm_blk = np.stack([
+            np.argsort(-rdeg[i * local_p:(i + 1) * local_p], kind="stable")
+            for i in range(R)
+        ]).astype(np.int32)
+        col_perm_blk = np.stack([
+            np.argsort(-cdeg[j * local_n:(j + 1) * local_n], kind="stable")
+            for j in range(C)
+        ]).astype(np.int32)
+        row_rank_blk = np.empty_like(row_perm_blk)
+        col_rank_blk = np.empty_like(col_perm_blk)
+        ar_p, ar_n = np.arange(local_p, dtype=np.int32), np.arange(local_n, dtype=np.int32)
+        for i in range(R):
+            row_rank_blk[i, row_perm_blk[i]] = ar_p
+        for j in range(C):
+            col_rank_blk[j, col_perm_blk[j]] = ar_n
+    else:
+        row_perm_blk = col_perm_blk = row_rank_blk = col_rank_blk = None
+
     bi = rows // local_p
     bj = cols // local_n
     covered = np.zeros(len(rows), bool)
@@ -471,25 +543,28 @@ def shard_tiled(
     for (i, j) in owned:
         m = (bi == i) & (bj == j)
         covered |= m
+        lr = rows[m] - i * local_p
+        lc = cols[m] - j * local_n
+        if order == "degree":
+            lr = row_rank_blk[i][lr]
+            lc = col_rank_blk[j][lc]
         if compact:
             fwd_blocks[(i, j)] = _build_side_compact(
-                rows[m] - i * local_p, cols[m] - j * local_n, vals[m],
+                lr, lc, vals[m],
                 local_p, local_n, stripe_tiles, group, dense_tile_nnz,
                 1, quad_tail_nnz,
             )
             bwd_blocks[(i, j)] = _build_side_compact(
-                cols[m] - j * local_n, rows[m] - i * local_p, vals[m],
+                lc, lr, vals[m],
                 local_n, local_p, stripe_tiles, group, dense_tile_nnz,
                 1, quad_tail_nnz,
             )
         else:
             fwd_blocks[(i, j)] = _build_side(
-                rows[m] - i * local_p, cols[m] - j * local_n, vals[m],
-                local_p, local_n, stripe_tiles,
+                lr, lc, vals[m], local_p, local_n, stripe_tiles,
             )
             bwd_blocks[(i, j)] = _build_side(
-                cols[m] - j * local_n, rows[m] - i * local_p, vals[m],
-                local_n, local_p, stripe_tiles,
+                lc, lr, vals[m], local_n, local_p, stripe_tiles,
             )
     if local and not covered.all():
         raise ValueError(
@@ -538,7 +613,18 @@ def shard_tiled(
             mesh, R, C, fwd_blocks, bwd_blocks,
             tuple(int(v) for v in pads_local), local_p, local_n,
         )
-        return ShardedTiled(fwd, bwd, stats, b2f, (p, n), (R, C), False, mesh)
+        if order == "degree":
+            perms = dict(
+                row_perm=_asm_perm(mesh, ROWS, row_perm_blk),
+                row_rank=_asm_perm(mesh, ROWS, row_rank_blk),
+                col_perm=_asm_perm(mesh, COLS, col_perm_blk),
+                col_rank=_asm_perm(mesh, COLS, col_rank_blk),
+            )
+        else:
+            perms = {}
+        return ShardedTiled(
+            fwd, bwd, stats, b2f, (p, n), (R, C), False, mesh, **perms
+        )
 
     mc_f, mc_b = int(pads_local[0]), int(pads_local[1])
     nsf, ncf, tpsf, stf, ntf = _side_meta(local_p, local_n, stripe_tiles, mc_f)
@@ -751,10 +837,18 @@ def _sharded_matmul(X: ShardedTiled, D, mesh, precision="exact", transposed=Fals
         else ["lrows", "lcols", "vals"]
     )
     ops = [getattr(side, nm) for nm in names]
+    # degree renumbering: the kernel speaks the renumbered local space — the
+    # D operand is gathered through the input-space perm on the way in, the
+    # output through the output-space rank on the way out (both local)
+    in_perm = X.row_perm if transposed else X.col_perm
+    out_rank = X.col_rank if transposed else X.row_rank
+    renum = in_perm is not None
 
     def local_fn(*args):
-        a = {nm: arr[0, 0] for nm, arr in zip(names, args[:-1])}
-        Dloc = args[-1]  # (local_in, K)
+        a = {nm: arr[0, 0] for nm, arr in zip(names, args[: len(names)])}
+        Dloc = args[len(names)]  # (local_in, K)
+        if renum:
+            Dloc = jnp.take(Dloc, args[len(names) + 1][0], axis=0)
         if compact:
             out_local = _local_matmul_compact(side, a, Dloc.T, precision)
         else:
@@ -762,11 +856,17 @@ def _sharded_matmul(X: ShardedTiled, D, mesh, precision="exact", transposed=Fals
                 side, a["lrows"], a["lcols"], a["vals"], Dloc.T, precision
             )  # (K, local_rows_pad)
         out_local = jax.lax.psum(out_local, axis_red)
-        return out_local[None]  # (1, K, local_rows_pad)
+        if renum:
+            out_local = jnp.take(out_local, args[len(names) + 2][0], axis=1)
+        return out_local[None]  # (1, K, local_rows_pad | local_rows)
 
     in_specs = tuple(
         P(*lead, *([None] * (o.ndim - 2))) for o in ops
     ) + (P(axis_red, None),)
+    operands = ops + [Dp]
+    if renum:
+        in_specs = in_specs + (P(axis_red, None), P(axis_out, None))
+        operands += [in_perm, out_rank]
     out_spec = P(axis_out, None, None)
 
     out = shard_map(
@@ -775,7 +875,7 @@ def _sharded_matmul(X: ShardedTiled, D, mesh, precision="exact", transposed=Fals
         in_specs=in_specs,
         out_specs=out_spec,
         check_vma=False,
-    )(*ops, Dp)
+    )(*operands)
     # out: (R or C, K, stripes_rows_pad); each device block covers exactly
     # local_rows global rows — drop the per-device stripe padding before
     # concatenating blocks.
@@ -847,9 +947,16 @@ def _sharded_sddmm_impl(X: ShardedTiled, W, H, mesh):
         S = side.n_slots
         nchunk_slots = side.n_windows * side.group * TILE
         nd = side.n_dblocks * TILE * TILE
+        renum = X.row_perm is not None
+        extra = [X.row_perm, X.col_perm] if renum else []
 
         def local_fn(Wl, Htl, *args):
-            a = {nm: arr[0, 0] for nm, arr in zip(names, args)}
+            a = {nm: arr[0, 0] for nm, arr in zip(names, args[: len(names)])}
+            if renum:
+                # put the factors in the blocks' renumbered order once, so
+                # the slot coords index them directly
+                Wl = jnp.take(Wl, args[len(names)][0], axis=0)
+                Htl = jnp.take(Htl, args[len(names) + 1][0], axis=0)
             grow, gcol = _slot_coords_compact(side, a)
             # clip: phantom row panels in the last stripe gather garbage
             # rows, but those are all-padding slots (value 0) masked by
@@ -891,10 +998,10 @@ def _sharded_sddmm_impl(X: ShardedTiled, W, H, mesh):
             mesh=mesh,
             in_specs=(P(ROWS, None), P(COLS, None)) + tuple(
                 P(ROWS, COLS, *([None] * (o.ndim - 2))) for o in meta_ops
-            ),
+            ) + ((P(ROWS, None), P(COLS, None)) if renum else ()),
             out_specs=P(ROWS, COLS, None),
             check_vma=False,
-        )(Wp, Htp, *meta_ops)
+        )(Wp, Htp, *meta_ops, *extra)
 
     nt = side.lrows.shape[2]
     row_off, col_off = _panel_offsets(side, nt)
@@ -1023,16 +1130,22 @@ def _sharded_ids_impl(X: ShardedTiled, mesh, which: str):
         names = _compact_operand_names(side)
         meta_ops = [getattr(side, nm) for nm in names]
         S = side.n_slots
+        perm = (X.col_perm if which == "col" else X.row_perm)
+        extra = [perm] if perm is not None else []
+        perm_spec = P(COLS, None) if which == "col" else P(ROWS, None)
 
         def local_fn(*args):
-            a = {nm: arr[0, 0] for nm, arr in zip(names, args)}
+            a = {nm: arr[0, 0] for nm, arr in zip(names, args[: len(names)])}
             grow, gcol = _slot_coords_compact(side, a)
+            lid = gcol if which == "col" else grow
+            if perm is not None:
+                # renumbered local id -> original local id (padding slots
+                # may sit on phantom panels: clip, their value is 0)
+                lid = jnp.take(args[len(names)][0], lid, mode="clip")
             if which == "col":
-                j = jax.lax.axis_index(COLS)
-                g = gcol + j * side.local_cols
+                g = lid + jax.lax.axis_index(COLS) * side.local_cols
             else:
-                i = jax.lax.axis_index(ROWS)
-                g = grow + i * side.local_rows
+                g = lid + jax.lax.axis_index(ROWS) * side.local_rows
             return g.astype(jnp.int32).reshape(1, 1, S)
 
         return shard_map(
@@ -1040,10 +1153,10 @@ def _sharded_ids_impl(X: ShardedTiled, mesh, which: str):
             mesh=mesh,
             in_specs=tuple(
                 P(ROWS, COLS, *([None] * (o.ndim - 2))) for o in meta_ops
-            ),
+            ) + ((perm_spec,) if perm is not None else ()),
             out_specs=P(ROWS, COLS, None),
             check_vma=False,
-        )(*meta_ops)
+        )(*meta_ops, *extra)
 
     nt = side.lrows.shape[2]
     row_off, col_off = _panel_offsets(side, nt)
