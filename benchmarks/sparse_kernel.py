@@ -164,9 +164,9 @@ def main():
                             extra = {"precision": prec, "group": g,
                                      "pad": round(pad, 2), "span": span}
                             if dn:
-                                dnnz = int(
-                                    nnz
-                                    - (np.asarray(Xc.fwd.inv[: Xc.fwd.vals.size]) < nnz).sum()
+                                dnnz = (
+                                    int(Xc.fwd.dense_nnz.shape[0])
+                                    if Xc.fwd.n_dblocks else 0
                                 )
                                 extra.update(
                                     dense_thresh=dn,
@@ -176,7 +176,7 @@ def main():
                             if quad:
                                 qn = Xc.fwd.n_qchunks
                                 qnnz = int(
-                                    (np.asarray(Xc.fwd.inv[-qn * 128:]) < nnz).sum()
+                                    (np.asarray(Xc.fwd.qinv) < nnz).sum()
                                 ) if qn else 0
                                 extra.update(
                                     quad_tail_nnz=quad,

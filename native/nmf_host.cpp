@@ -281,4 +281,103 @@ int64_t nmf_tile_bin_count(int64_t nnz, const int32_t* row_idx,
   return n;
 }
 
+// ---------------------------------------------------------------------------
+// Compact-binner accelerators (nmf_tpu.ops.sparse_format._build_side_compact)
+//
+// The binning pipeline's hot numpy statements, measured at the 17.6M-nnz
+// config4 build: the stable tile-key argsort (~2.7 s), applying the order to
+// three arrays (~1.8 s), and the dense-tile element scatter (~5.8 s) — per
+// orientation.  The binning LOGIC stays in Python (single source of truth);
+// these functions replace only the mechanical loops, each parallel and
+// bounded by memory bandwidth.
+
+// Stable LSD radix argsort of non-negative int64 keys (8-bit digits, passes
+// skipped when a digit column is constant).  Parallel histogram + stable
+// per-thread scatter: thread t's write offset for digit d is the count of d
+// in threads < t plus all smaller digits — slice order is preserved, so the
+// sort is stable.
+int64_t nmf_argsort64(int64_t n, const int64_t* keys, int64_t* order) {
+  if (n <= 0) return 0;
+  int64_t maxk = 0;
+  for (int64_t i = 0; i < n; ++i)
+    if (keys[i] > maxk) maxk = keys[i];
+  int passes = 1;
+  while (passes < 8 && (maxk >> (8 * passes)) != 0) ++passes;
+
+  std::vector<int64_t> kbuf_a(keys, keys + n), kbuf_b(n);
+  std::vector<int64_t> ibuf_a(n), ibuf_b(n);
+  for (int64_t i = 0; i < n; ++i) ibuf_a[i] = i;
+  int64_t* ksrc = kbuf_a.data();
+  int64_t* kdst = kbuf_b.data();
+  int64_t* isrc = ibuf_a.data();
+  int64_t* idst = ibuf_b.data();
+
+  unsigned nt = hw_threads();
+  int64_t chunk = (n + nt - 1) / nt;
+  std::vector<int64_t> hist(nt * 256);
+  auto per_thread = [&](auto&& body) {  // body(t) on its own thread
+    std::vector<std::thread> th;
+    for (unsigned t = 0; t < nt; ++t) th.emplace_back([&body, t] { body(t); });
+    for (auto& x : th) x.join();
+  };
+
+  for (int p = 0; p < passes; ++p) {
+    int shift = 8 * p;
+    std::fill(hist.begin(), hist.end(), 0);
+    per_thread([&](unsigned t) {
+      int64_t lo = (int64_t)t * chunk, hi = std::min<int64_t>(n, lo + chunk);
+      int64_t* h = hist.data() + (int64_t)t * 256;
+      for (int64_t i = lo; i < hi; ++i) ++h[(ksrc[i] >> shift) & 0xFF];
+    });
+    // exclusive prefix over (digit, thread)
+    int64_t run = 0;
+    for (int d = 0; d < 256; ++d) {
+      for (unsigned t = 0; t < nt; ++t) {
+        int64_t& c = hist[t * 256 + d];
+        int64_t tmp = c;
+        c = run;
+        run += tmp;
+      }
+    }
+    per_thread([&](unsigned t) {
+      int64_t lo = (int64_t)t * chunk, hi = std::min<int64_t>(n, lo + chunk);
+      int64_t* off = hist.data() + (int64_t)t * 256;
+      for (int64_t i = lo; i < hi; ++i) {
+        int64_t w = off[(ksrc[i] >> shift) & 0xFF]++;
+        kdst[w] = ksrc[i];
+        idst[w] = isrc[i];
+      }
+    });
+    std::swap(ksrc, kdst);
+    std::swap(isrc, idst);
+  }
+  std::memcpy(order, isrc, n * sizeof(int64_t));
+  return 0;
+}
+
+// out[i] = src[order[i]] for the three binning arrays in one parallel pass.
+void nmf_gather3(int64_t n, const int64_t* order, const int32_t* r,
+                 const int32_t* c, const float* v, int32_t* ro, int32_t* co,
+                 float* vo) {
+  parallel_for(n, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      int64_t o = order[i];
+      ro[i] = r[o];
+      co[i] = c[o];
+      vo[i] = v[o];
+    }
+  });
+}
+
+// dvals[blk[i]*128*128 + lcol[i]*128 + lrow[i]] = v[i].  Positions are
+// unique (deduped COO), so parallel writes cannot race.
+void nmf_dense_scatter(int64_t n, const int64_t* blk, const int32_t* lcol,
+                       const int32_t* lrow, const float* v, float* dvals) {
+  parallel_for(n, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      dvals[blk[i] * (128 * 128) + (int64_t)lcol[i] * 128 + lrow[i]] = v[i];
+    }
+  });
+}
+
 }  // extern "C"

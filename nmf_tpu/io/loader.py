@@ -14,7 +14,10 @@ from typing import NamedTuple
 
 import numpy as np
 
-__all__ = ["load_mtx", "coo_to_csr", "native_available", "to_bcoo"]
+__all__ = [
+    "load_mtx", "coo_to_csr", "native_available", "to_bcoo",
+    "stable_argsort", "gather3", "dense_scatter",
+]
 
 _LIB = None
 _LIB_TRIED = False
@@ -60,6 +63,32 @@ def _load_lib():
             np.ctypeslib.ndpointer(np.float32),
         ]
         lib.nmf_coo_to_csr.restype = ctypes.c_int64
+        lib.nmf_argsort64.argtypes = [
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int64),
+        ]
+        lib.nmf_argsort64.restype = ctypes.c_int64
+        lib.nmf_gather3.argtypes = [
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float32),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float32),
+        ]
+        lib.nmf_gather3.restype = None
+        lib.nmf_dense_scatter.argtypes = [
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float32),
+            np.ctypeslib.ndpointer(np.float32),
+        ]
+        lib.nmf_dense_scatter.restype = None
         _LIB = lib
     except OSError:
         _LIB = None
@@ -151,6 +180,52 @@ def coo_to_csr(coo: COO) -> CSR:
         m.indptr.astype(np.int64),
         m.indices.astype(np.int32),
         m.data.astype(np.float32),
+    )
+
+
+def stable_argsort(keys: np.ndarray) -> np.ndarray:
+    """Stable argsort of a non-negative int64 key array — the native
+    parallel radix sort when available (measured ~4x numpy's stable sort on
+    the 17.6M-key config4 tile keys), numpy otherwise."""
+    lib = _load_lib()
+    keys = np.ascontiguousarray(keys, np.int64)
+    if lib is not None and len(keys) >= (1 << 16):
+        order = np.empty(len(keys), np.int64)
+        lib.nmf_argsort64(len(keys), keys, order)
+        return order
+    return np.argsort(keys, kind="stable")
+
+
+def gather3(order, r, c, v):
+    """(r[order], c[order], v[order]) in one parallel native pass."""
+    lib = _load_lib()
+    if lib is None or len(order) < (1 << 16):
+        return r[order], c[order], v[order]
+    n = len(order)
+    ro = np.empty(n, np.int32)
+    co = np.empty(n, np.int32)
+    vo = np.empty(n, np.float32)
+    lib.nmf_gather3(
+        n, np.ascontiguousarray(order, np.int64),
+        np.ascontiguousarray(r, np.int32),
+        np.ascontiguousarray(c, np.int32),
+        np.ascontiguousarray(v, np.float32), ro, co, vo,
+    )
+    return ro, co, vo
+
+
+def dense_scatter(dvals: np.ndarray, blk, lcol, lrow, v):
+    """dvals[blk, lcol, lrow] = v (unique positions), parallel native."""
+    lib = _load_lib()
+    if lib is None or len(blk) < (1 << 16):
+        dvals[blk, lcol, lrow] = v
+        return
+    lib.nmf_dense_scatter(
+        len(blk), np.ascontiguousarray(blk, np.int64),
+        np.ascontiguousarray(lcol, np.int32),
+        np.ascontiguousarray(lrow, np.int32),
+        np.ascontiguousarray(v, np.float32),
+        dvals.reshape(-1),
     )
 
 

@@ -79,3 +79,42 @@ def test_numpy_fallback(mtx_file, monkeypatch):
         (csr.data, csr.indices, csr.indptr), shape=(csr.rows, csr.cols)
     )
     np.testing.assert_allclose(m.toarray(), dense, rtol=1e-5, atol=1e-6)
+
+
+def test_native_binner_helpers_match_numpy():
+    """The native parallel binning helpers (stable radix argsort, fused
+    3-array gather, dense-element scatter) are exact replacements for the
+    numpy statements they accelerate.  Sizes exceed the native-path
+    threshold (1 << 16) so the C++ code actually runs when built; heavy key
+    ties exercise radix stability."""
+    if not loader.native_available():
+        import pytest
+
+        pytest.skip("libnmf_host.so not built")
+    rng = np.random.default_rng(3)
+    n = 200_000
+    keys = rng.integers(0, 1500, n).astype(np.int64)
+    order = loader.stable_argsort(keys)
+    np.testing.assert_array_equal(order, np.argsort(keys, kind="stable"))
+    # a wide-range key hits multiple radix passes
+    wide = rng.integers(0, 1 << 40, n).astype(np.int64)
+    np.testing.assert_array_equal(
+        loader.stable_argsort(wide), np.argsort(wide, kind="stable")
+    )
+    r = rng.integers(0, 999, n).astype(np.int32)
+    c = rng.integers(0, 777, n).astype(np.int32)
+    v = rng.random(n).astype(np.float32)
+    ro, co, vo = loader.gather3(order, r, c, v)
+    np.testing.assert_array_equal(ro, r[order])
+    np.testing.assert_array_equal(co, c[order])
+    np.testing.assert_array_equal(vo, v[order])
+    nb = 40
+    key = np.unique(rng.integers(0, nb * 128 * 128, n))
+    blk, rem = key // (128 * 128), key % (128 * 128)
+    lc, lr = rem // 128, rem % 128
+    vv = rng.random(len(key)).astype(np.float32)
+    d1 = np.zeros((nb, 128, 128), np.float32)
+    loader.dense_scatter(d1, blk, lc, lr, vv)
+    d2 = np.zeros((nb, 128, 128), np.float32)
+    d2[blk, lc, lr] = vv
+    np.testing.assert_array_equal(d1, d2)
