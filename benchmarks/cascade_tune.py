@@ -81,10 +81,18 @@ def main():
         env = dict(os.environ)
         env["NMF_TPU_CASCADE_SHRINK"] = shrink
         env["NMF_TPU_CASCADE_MIN"] = floor
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker"],
-            env=env, cwd=REPO, capture_output=True, text=True, timeout=3600,
-        )
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker"],
+                env=env, cwd=REPO, capture_output=True, text=True,
+                timeout=3600,
+            )
+        except subprocess.TimeoutExpired:
+            print(json.dumps({
+                "error": "timeout (wedged tunnel?)",
+                "shrink": int(shrink), "min": int(floor),
+            }), flush=True)
+            continue
         printed = False
         for ln in out.stdout.splitlines():
             if ln.startswith("{"):

@@ -147,19 +147,22 @@ def precision_scope(value: str | None):
 #: The knobs are read at *trace* time: changing them after a solve of the
 #: same shape has been jitted has no effect on the cached executable — use a
 #: fresh process (or different shapes) when sweeping.
-def _env_int(name: str, default: int) -> int:
+def _env_int(name: str, default: int, lo: int) -> int:
     import os
 
     try:
-        return int(os.environ.get(name, default))
+        val = int(os.environ.get(name, default))
     except ValueError:
         return default
+    # clamp: shrink < 2 makes the cascade-size loop spin forever at trace
+    # time; min/off_rows < 1 grow the caps list unboundedly
+    return max(val, lo)
 
 
 greedycd_cascade: dict[str, int] = {
-    "shrink": _env_int("NMF_TPU_CASCADE_SHRINK", 4),
-    "min": _env_int("NMF_TPU_CASCADE_MIN", 1024),
-    "off_rows": _env_int("NMF_TPU_CASCADE_OFF_ROWS", 4096),
+    "shrink": _env_int("NMF_TPU_CASCADE_SHRINK", 4, 2),
+    "min": _env_int("NMF_TPU_CASCADE_MIN", 1024, 1),
+    "off_rows": _env_int("NMF_TPU_CASCADE_OFF_ROWS", 4096, 1),
 }
 
 

@@ -90,7 +90,10 @@ def _load_lib():
         ]
         lib.nmf_dense_scatter.restype = None
         _LIB = lib
-    except OSError:
+    except (OSError, AttributeError):
+        # AttributeError: a stale libnmf_host.so built before a symbol was
+        # added — fall back to numpy rather than crash (rebuild with
+        # `make -C native` to re-enable the native path)
         _LIB = None
     return _LIB
 
@@ -189,7 +192,7 @@ def stable_argsort(keys: np.ndarray) -> np.ndarray:
     the 17.6M-key config4 tile keys), numpy otherwise."""
     lib = _load_lib()
     keys = np.ascontiguousarray(keys, np.int64)
-    if lib is not None and len(keys) >= (1 << 16):
+    if lib is not None and (1 << 16) <= len(keys) < (1 << 31):
         order = np.empty(len(keys), np.int64)
         lib.nmf_argsort64(len(keys), keys, order)
         return order
@@ -217,7 +220,10 @@ def gather3(order, r, c, v):
 def dense_scatter(dvals: np.ndarray, blk, lcol, lrow, v):
     """dvals[blk, lcol, lrow] = v (unique positions), parallel native."""
     lib = _load_lib()
-    if lib is None or len(blk) < (1 << 16):
+    if (lib is None or len(blk) < (1 << 16)
+            or not dvals.flags.c_contiguous):
+        # non-contiguous dvals: reshape(-1) would copy and the native
+        # writes would land in the temporary — use the numpy path
         dvals[blk, lcol, lrow] = v
         return
     lib.nmf_dense_scatter(

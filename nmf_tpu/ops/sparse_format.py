@@ -139,7 +139,7 @@ class TiledSideC:
     # dense-store refresh as a scatter pair — O(nnz_dense), never the
     # O(ndblk*TILE^2) element space: dvals.flat[dense_slot] = new[dense_nnz]
     dense_nnz: jax.Array | None = data_field(default=None)  # (nnz_dense,) int32
-    dense_slot: jax.Array | None = data_field(default=None)  # (nnz_dense,)  # padded chunk count (QG-multiple)
+    dense_slot: jax.Array | None = data_field(default=None)  # (nnz_dense,)
 
 
 @jax.tree_util.register_dataclass
