@@ -931,6 +931,52 @@ def _panel_offsets(side: _ShardedSide, nt: int):
     return jnp.asarray(row_off[:, None]), jnp.asarray(col_off[:, None])
 
 
+def _local_sddmm_kernels(side: _ShardedSideC, a: dict, Wl, Htl):
+    """Per-device SDDMM through the single-chip Pallas kernels (chunk
+    windows + dense-sample einsum + quad-tail), returning the flat value
+    layout (chunk slots, dense elements, quad slots)."""
+    from types import SimpleNamespace
+
+    from .pallas.sparse import (
+        _dense_sample,
+        _tiled_sddmm_compact_impl,
+        _tiled_sddmm_quad_impl,
+    )
+
+    k = Wl.shape[1]
+    K = -(-k // 8) * 8
+    stripe_width = side.panels_per_stripe * TILE
+    p_pad = side.n_stripes * stripe_width
+    n_pad = side.n_colpanels * TILE
+    Wt = jnp.pad(
+        jnp.asarray(Wl, jnp.float32).T, ((0, K - k), (0, p_pad - Wl.shape[0]))
+    )
+    Ht = jnp.pad(
+        jnp.asarray(Htl, jnp.float32).T,
+        ((0, K - k), (0, n_pad - Htl.shape[0])),
+    )
+    out = _tiled_sddmm_compact_impl(
+        a["chunk_rp"], a["win_panel"], a["win_stripe"], a["lrows"], a["lcols"],
+        Wt, Ht, (side.n_windows, side.group, stripe_width, 1), False,
+    )
+    flat = out.reshape(-1)
+    if side.n_dblocks:
+        shim = SimpleNamespace(
+            dblk_rp=a["dblk_rp"], dblk_stripe=a["dblk_stripe"],
+            dblk_panel=a["dblk_panel"],
+            panels_per_stripe=side.panels_per_stripe,
+        )
+        flat = jnp.concatenate([flat, _dense_sample(shim, Wt, Ht)])
+    if side.n_qchunks:
+        qout = _tiled_sddmm_quad_impl(
+            a["q_rp"], a["qwin_panel"], a["qwin_stripe"], a["qlrows"],
+            a["qlcols"], Wt, Ht,
+            (side.n_qchunks // QUAD_GROUP, QUAD_GROUP, stripe_width), False,
+        )
+        flat = jnp.concatenate([flat, qout.reshape(-1)])
+    return flat
+
+
 @partial(jax.jit, static_argnames=("mesh",))
 def _sharded_sddmm_impl(X: ShardedTiled, W, H, mesh):
     from jax import shard_map
@@ -957,6 +1003,11 @@ def _sharded_sddmm_impl(X: ShardedTiled, W, H, mesh):
                 # the slot coords index them directly
                 Wl = jnp.take(Wl, args[len(names)][0], axis=0)
                 Htl = jnp.take(Htl, args[len(names) + 1][0], axis=0)
+            if jax.default_backend() != "cpu":
+                # on the chip, run the same Pallas SDDMM kernels the
+                # single-chip path uses (the jnp gather form below is the
+                # CPU fallback — see _local_matmul for why)
+                return _local_sddmm_kernels(side, a, Wl, Htl).reshape(1, 1, S)
             grow, gcol = _slot_coords_compact(side, a)
             # clip: phantom row panels in the last stripe gather garbage
             # rows, but those are all-padding slots (value 0) masked by
