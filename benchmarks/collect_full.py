@@ -138,14 +138,21 @@ def main():
             [py, f"{HERE}/cold_init.py", "--cache-dir", cache], 1200))
     if "c5d" in only:
         found = False
-        for path in ("/tmp/c5d_k64.jsonl", "/tmp/c5d_k256.jsonl"):
-            if os.path.exists(path):
+        for base in ("c5d_k64", "c5d_k256"):
+            # fresh /tmp runs win; committed tables (benchmarks/results/,
+            # regenerated whenever the harness changes) are the fallback —
+            # /tmp does not survive container restarts
+            for path in (f"/tmp/{base}.jsonl",
+                         f"{HERE}/results/{base}_cpu.jsonl"):
+                if not os.path.exists(path):
+                    continue
                 with open(path) as f:
                     rows = [json.loads(ln) for ln in f
                             if ln.strip().startswith("{")]
                 if rows:
-                    emit(f"c5d_{os.path.basename(path)}", rows)
+                    emit(f"c5d_{base}.jsonl", rows)
                     found = True
+                    break
         if not found:
             emit("c5d_k64", run_lines(
                 [py, f"{HERE}/run.py", "config5d", "--launch", "1,2,4,8",
