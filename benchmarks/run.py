@@ -499,7 +499,7 @@ def config5_distributed_worker(args):
     from nmf_tpu.models.common import _solve_while
     from nmf_tpu.models.coorddesc import CoordinateDescent
     from nmf_tpu.models.spa import spa
-    from nmf_tpu.ops.sparse_shard import TILE, shard_tiled
+    from nmf_tpu.ops.sparse_shard import TILE, shard_tiled, sharded_load_stats
     from nmf_tpu.parallel.mesh import make_mesh
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -583,6 +583,9 @@ def config5_distributed_worker(args):
                     "k": k,
                     "nnz_per_device": int(bp * bn * density),
                     "layout": args.layout,
+                    "nnz_imbalance": round(
+                        sharded_load_stats(X)["imbalance_max_over_mean"], 3
+                    ),
                     "spa_sec": None if spa_sec is None else round(spa_sec, 3),
                 }
             ),

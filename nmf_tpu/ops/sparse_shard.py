@@ -58,6 +58,7 @@ __all__ = [
     "sharded_col_ids",
     "sharded_colsums",
     "sharded_rowsums",
+    "sharded_load_stats",
 ]
 
 
@@ -1236,6 +1237,39 @@ def sharded_col_ids(X: ShardedTiled, mesh=None):
     consumer weights by the (zero) padding values."""
     mesh = mesh or X.mesh
     return _sharded_ids_impl(X, mesh, "row" if X.transposed else "col")
+
+
+def sharded_load_stats(X: ShardedTiled) -> dict:
+    """Per-device load report for a sharded sparse matrix.
+
+    On a pod the sweep rate is set by the slowest device, i.e. by data skew
+    across the (row-block, col-block) grid.  Returns per-block nonzero
+    counts (real values, not padding) per store, the padded slot counts the
+    kernels actually execute, and the max/mean imbalance ratio.  One jitted
+    reduction over the sharded arrays — no host gather of the matrix."""
+    side = X.fwd
+    nnz_chunk = jnp.sum(side.vals != 0, axis=(2, 3))  # (R, C)
+    out = {"chunk_nnz": np.asarray(nnz_chunk)}
+    if isinstance(side, _ShardedSideC):
+        slots = side.lrows.shape[2] * TILE
+        if side.n_dblocks:
+            out["dense_nnz"] = np.asarray(
+                jnp.sum(side.dvals != 0, axis=(2, 3, 4))
+            )
+            slots += side.n_dblocks * TILE * TILE
+        if side.n_qchunks:
+            out["quad_nnz"] = np.asarray(jnp.sum(side.qvals != 0, axis=(2, 3)))
+            slots += side.n_qchunks * TILE
+        out["padded_slots_per_device"] = slots
+    else:
+        out["padded_slots_per_device"] = side.lrows.shape[2] * TILE
+    total = sum(v for k, v in out.items() if k.endswith("_nnz"))
+    out["total_nnz"] = total
+    mean = float(total.mean())
+    out["imbalance_max_over_mean"] = (
+        float(total.max()) / mean if mean else 1.0
+    )
+    return out
 
 
 def sharded_colsums(X: ShardedTiled):

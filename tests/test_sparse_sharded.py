@@ -274,3 +274,26 @@ def test_nnmf_front_door_sparse_default_init():
         Xd - np.asarray(res.W) @ np.asarray(res.H)
     ) / np.linalg.norm(Xd)
     assert rel < 0.15, rel
+
+
+@requires_multidevice
+def test_sharded_load_stats():
+    """Per-block nnz accounting (all three stores) sums to the true nnz and
+    reports the skew ratio."""
+    from nmf_tpu.ops.sparse_shard import sharded_load_stats
+
+    rng = np.random.default_rng(12)
+    p, n = 600, 500
+    Xd = (rng.random((p, n)) * (rng.random((p, n)) < 0.01)).astype(np.float32)
+    Xd[:40, :40] += np.abs(rng.random((40, 40))).astype(np.float32)
+    r, c = np.nonzero(Xd)
+    mesh = make_mesh((2, 4))
+    X = shard_tiled(
+        r, c, Xd[r, c], Xd.shape, mesh, stripe_tiles=2,
+        dense_tile_nnz=100, quad_tail_nnz=16,
+    )
+    st = sharded_load_stats(X)
+    assert st["total_nnz"].shape == (2, 4)
+    assert int(st["total_nnz"].sum()) == len(r)
+    assert st["imbalance_max_over_mean"] >= 1.0
+    assert st["padded_slots_per_device"] >= int(st["total_nnz"].max())
