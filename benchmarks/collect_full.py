@@ -125,7 +125,7 @@ def main():
             [py, f"{HERE}/sparse_kernel.py", "--dist", "powerlaw",
              "--p", "40000", "--n", "20000",
              "--paths", "bcoo,compact", "--precisions", "highest",
-             "--dense", "0,130", "--quads", "0,16,32"], 3600,
+             "--dense", "0,130", "--quads", "0,16,32,16:16,8:16"], 3600,
         ))
     if "cold" in only:
         cache = "/tmp/nmf_bench_xla_cache"

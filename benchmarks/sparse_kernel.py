@@ -59,7 +59,9 @@ def main():
     ap.add_argument("--dense", default="0", help="comma list of dense_tile_nnz thresholds (0=off)")
     ap.add_argument("--spans", default="1", help="comma list of tail_span values")
     ap.add_argument("--quads", default="0",
-                    help="comma list of quad_tail_nnz values (0=off)")
+                    help="comma list of quad_tail_nnz values (0=off); an "
+                    "entry may be nnz:seg to set the sub-segment width, "
+                    "e.g. 16:16 for the octa variant")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--small", type=int, default=2)
     args = ap.parse_args()
@@ -153,12 +155,14 @@ def main():
             for g in [int(x) for x in args.groups.split(",")]:
                 for dn in [int(x) for x in args.dense.split(",")]:
                     for span in [int(x) for x in args.spans.split(",")]:
-                        for quad in [int(x) for x in args.quads.split(",")]:
+                        for qspec in args.quads.split(","):
+                            quad, _, qs = qspec.partition(":")
+                            quad, qseg = int(quad), int(qs or 32)
                             Xc = build_tiled(
                                 rows, cols, vals, (args.p, args.n),
                                 layout="compact", group=g,
                                 dense_tile_nnz=dn or None, tail_span=span,
-                                quad_tail_nnz=quad or None,
+                                quad_tail_nnz=quad or None, quad_seg=qseg,
                             )
                             pad = Xc.fwd.vals.size / max(nnz, 1)
                             extra = {"precision": prec, "group": g,
@@ -180,6 +184,7 @@ def main():
                                 ) if qn else 0
                                 extra.update(
                                     quad_tail_nnz=quad,
+                                    quad_seg=qseg,
                                     quad_chunks=qn,
                                     quad_nnz_frac=round(qnnz / max(nnz, 1), 3),
                                 )

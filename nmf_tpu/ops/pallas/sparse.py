@@ -352,7 +352,8 @@ def tiled_matmul_t(side, D, *, interpret: bool = False, precision: str = "highes
                 side.qlcols,
                 jnp.asarray(side.qvals, jnp.float32),
                 Dt,
-                (side.n_qchunks // QUAD_GROUP, QUAD_GROUP, stripe_width, p_pad),
+                (side.n_qchunks // QUAD_GROUP, QUAD_GROUP, stripe_width,
+                 p_pad, getattr(side, "quad_seg", 32)),
                 interpret,
                 precision,
             )
@@ -377,14 +378,16 @@ def tiled_matmul_t(side, D, *, interpret: bool = False, precision: str = "highes
     return out[:k, :p].T
 
 
-def _make_quad_kernel(QG, stripe_width, K, precision: str):
-    """Quad-tail chunks: four <=32-nnz tiles share one 128-slot chunk (fixed
-    32-slot sub-segments; same stripe + col panel, one row panel each).  One
-    lane gather + one bf16 split serve all four sub-segments; each
-    sub-segment gets its own masked one-hot MXU scatter into its row panel.
-    The per-chunk metadata is one int32 (4 rp bytes) — the tail experiment
-    of docs/sparse_kernel_design.md round 3."""
-    from ..sparse_format import QUAD_SEG
+def _make_quad_kernel(QG, stripe_width, K, precision: str, seg_size=32):
+    """Quad-tail chunks: TILE//seg_size small tiles share one 128-slot chunk
+    (fixed seg_size-slot sub-segments; same stripe + col panel, one row
+    panel each).  One lane gather + one bf16 split serve all sub-segments;
+    each sub-segment gets its own masked one-hot MXU scatter into its row
+    panel.  Per-chunk metadata is (TILE//seg_size)//4 packed int32 words
+    (one rp byte per sub-segment) — the tail experiments of
+    docs/sparse_kernel_design.md round 3 (seg 32 = quad, seg 16 = octa)."""
+    nseg = TILE // seg_size
+    nwords = nseg // 4
 
     def kernel(win_panel, win_stripe, rp_ref, lrows_ref, lcols_ref, vals_ref,
                dt_ref, out_hbm, acc_ref, copy_sem):
@@ -398,18 +401,18 @@ def _make_quad_kernel(QG, stripe_width, K, precision: str):
 
         dblk = dt_ref[:]  # (K, TILE)
         rr = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
-        seg = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0) // QUAD_SEG
+        seg = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0) // seg_size
 
         for t in range(QG):
-            w = rp_ref[i * QG + t]
             lrow = lrows_ref[t, :]
             idx = jnp.broadcast_to(lcols_ref[t, :][None, :], (K, TILE))
             gathered = jnp.take_along_axis(dblk, idx, axis=1)
             scaled = gathered * vals_ref[t, :][None, :]
             parts = _split_bf16(scaled, precision)
             eq = lrow[:, None] == rr
-            for si in range(4):
-                rp = (w >> (8 * si)) & 0xFF
+            for si in range(nseg):
+                w = rp_ref[(i * QG + t) * nwords + si // 4]
+                rp = (w >> (8 * (si % 4))) & 0xFF
                 onehot = (eq & (seg == si)).astype(jnp.bfloat16)
                 contrib = _dot_parts(parts, onehot)
                 off = pl.multiple_of(rp * TILE, TILE)
@@ -433,10 +436,11 @@ def _tiled_quad_impl(
     q_rp, qwin_panel, qwin_stripe, qlrows, qlcols, qvals, Dt, meta,
     interpret=False, precision="highest",
 ):
-    (nwin_q, QG, stripe_width, p_pad) = meta
+    (nwin_q, QG, stripe_width, p_pad) = meta[:4]
+    seg_size = meta[4] if len(meta) > 4 else 32
     K = Dt.shape[0]
     prec = _resolve_precision(precision)
-    kernel = _make_quad_kernel(QG, stripe_width, K, prec)
+    kernel = _make_quad_kernel(QG, stripe_width, K, prec, seg_size)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nwin_q,),
@@ -653,25 +657,26 @@ def _tiled_sddmm_compact_impl(
     )(win_panel, win_stripe, chunk_rp.reshape(-1), lrows, lcols, Wt, Ht)
 
 
-def _make_sddmm_quad_kernel(QG, K):
+def _make_sddmm_quad_kernel(QG, K, seg_size=32):
     """SDDMM over quad-tail chunks: the H-column gather is shared across the
-    four sub-segments; the W-row gather runs per sub-segment (each has its
-    own row panel) and is lane-selected into place."""
-    from ..sparse_format import QUAD_SEG
+    sub-segments; the W-row gather runs per sub-segment (each has its own
+    row panel) and is lane-selected into place."""
+    nseg = TILE // seg_size
+    nwords = nseg // 4
 
     def kernel(win_panel, win_stripe, rp_ref, lrows_ref, lcols_ref, wt_ref,
                ht_ref, out_ref):
         i = pl.program_id(0)
         hblk = ht_ref[:]  # (K, TILE)
-        seg = jax.lax.broadcasted_iota(jnp.int32, (K, TILE), 1) // QUAD_SEG
+        seg = jax.lax.broadcasted_iota(jnp.int32, (K, TILE), 1) // seg_size
         for t in range(QG):
-            w = rp_ref[i * QG + t]
             idxr = jnp.broadcast_to(lrows_ref[t, :][None, :], (K, TILE))
             idxc = jnp.broadcast_to(lcols_ref[t, :][None, :], (K, TILE))
             hg = jnp.take_along_axis(hblk, idxc, axis=1)
             wg = jnp.zeros((K, TILE), jnp.float32)
-            for si in range(4):
-                rp = (w >> (8 * si)) & 0xFF
+            for si in range(nseg):
+                w = rp_ref[(i * QG + t) * nwords + si // 4]
+                rp = (w >> (8 * (si % 4))) & 0xFF
                 off = pl.multiple_of(rp * TILE, TILE)
                 wblk = wt_ref[:, pl.ds(off, TILE)]
                 wg_si = jnp.take_along_axis(wblk, idxr, axis=1)
@@ -685,9 +690,10 @@ def _make_sddmm_quad_kernel(QG, K):
 def _tiled_sddmm_quad_impl(
     q_rp, qwin_panel, qwin_stripe, qlrows, qlcols, Wt, Ht, meta, interpret=False
 ):
-    (nwin_q, QG, stripe_width) = meta
+    (nwin_q, QG, stripe_width) = meta[:3]
+    seg_size = meta[3] if len(meta) > 3 else 32
     K = Wt.shape[0]
-    kernel = _make_sddmm_quad_kernel(QG, K)
+    kernel = _make_sddmm_quad_kernel(QG, K, seg_size)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nwin_q,),
@@ -760,7 +766,8 @@ def tiled_sddmm(X: TiledCSR, W, H, *, interpret: bool = False):
         qout = _tiled_sddmm_quad_impl(
             side.q_rp, side.qwin_panel, side.qwin_stripe, side.qlrows,
             side.qlcols, Wt, Ht,
-            (side.n_qchunks // QUAD_GROUP, QUAD_GROUP, stripe_width),
+            (side.n_qchunks // QUAD_GROUP, QUAD_GROUP, stripe_width,
+             getattr(side, "quad_seg", 32)),
             interpret,
         )
         flat = jnp.concatenate([flat, qout.reshape(-1)])

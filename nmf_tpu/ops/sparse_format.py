@@ -134,6 +134,10 @@ class TiledSideC:
     qwin_panel: jax.Array | None = data_field(default=None)  # (nwin_q+1,) int32
     qwin_stripe: jax.Array | None = data_field(default=None)  # (nwin_q+1,) int32, -1 sentinel
     n_qchunks: int = static_field(default=0)  # padded chunk count (QG-multiple)
+    # sub-segment width of the quad-tail chunks: 32 = four tiles per chunk
+    # (one rp word each), 16 = eight tiles per chunk (two rp words) — the
+    # round-3 deep-tail variant; q_rp is (nwin_q, QG * (TILE//quad_seg)//4)
+    quad_seg: int = static_field(default=32)
     # (nq*TILE,) int32: CSR-order nnz index per quad slot (see inv)
     qinv: jax.Array | None = data_field(default=None)
     # dense-store refresh as a scatter pair — O(nnz_dense), never the
@@ -324,7 +328,8 @@ def _build_side(rows, cols, vals, p, n, stripe_tiles):
 
 
 def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
-                        dense_thresh=None, tail_span=1, quad_tail_nnz=None):
+                        dense_thresh=None, tail_span=1, quad_tail_nnz=None,
+                        quad_seg=32):
     """Bin (row, col, val) into the compact chunk layout for one orientation.
 
     ``dense_thresh``: tiles with at least this many nonzeros are stored as
@@ -341,11 +346,13 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
     with tail_span > 1."""
     if tail_span not in (1, 2, 4, 8, 16):
         raise ValueError("tail_span must be one of 1, 2, 4, 8, 16")
+    if quad_seg not in (16, 32):
+        raise ValueError("quad_seg must be 16 or 32")
     if quad_tail_nnz is not None:
         if tail_span != 1:
             raise ValueError("quad_tail_nnz requires tail_span == 1")
-        if not (1 <= quad_tail_nnz <= QUAD_SEG):
-            raise ValueError(f"quad_tail_nnz must be in [1, {QUAD_SEG}]")
+        if not (1 <= quad_tail_nnz <= quad_seg):
+            raise ValueError(f"quad_tail_nnz must be in [1, {quad_seg}]")
     if group % 8:
         raise ValueError(f"group must be a multiple of 8 (sublane tiling), got {group}")
     n_rowpanels = -(-p // TILE)
@@ -546,13 +553,15 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
         ndblk = 0
         dvals = dblk_stripe = dblk_panel = dblk_rp = None
 
-    # ---- quad-tail store (four <=32-nnz tiles per chunk) ----
+    # ---- quad-tail store (TILE//quad_seg small tiles per chunk) ----
     q_tiles = tiles_all[tile_quad]
+    nper = TILE // quad_seg  # tiles per chunk (4 for seg 32, 8 for seg 16)
+    nwords = nper // 4  # packed rp words per chunk
     if len(q_tiles):
         QG = QUAD_GROUP
         gq_key = q_tiles // stripe_tiles  # (stripe * n_colpanels + cp)
         gq_uniq, gq_tilecounts = np.unique(gq_key, return_counts=True)
-        chunks_per_gq = -(-gq_tilecounts // 4)
+        chunks_per_gq = -(-gq_tilecounts // nper)
         padded_q = -(-chunks_per_gq // QG) * QG
         # every stripe must be flushed by the quad kernel too
         miss_q = np.setdiff1d(
@@ -569,22 +578,23 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
         grp_of_tile_q = np.searchsorted(gq_uniq, gq_key)
         first_of_grp_q = np.searchsorted(gq_key, gq_uniq)
         within_t = np.arange(len(q_tiles)) - first_of_grp_q[grp_of_tile_q]
-        chunk_of_tile = base_q[grp_of_tile_q] + within_t // 4
-        seg_of_tile = within_t % 4
+        chunk_of_tile = base_q[grp_of_tile_q] + within_t // nper
+        seg_of_tile = within_t % nper
 
         qlrows = np.zeros((nq, TILE), np.int32)
         qlcols = np.zeros((nq, TILE), np.int32)
         qvals = np.zeros((nq, TILE), np.float32)
-        rp_seg = np.zeros((nq, 4), np.int64)
+        rp_seg = np.zeros((nq, nper), np.int64)
         rp_seg[chunk_of_tile, seg_of_tile] = q_tiles % stripe_tiles
+        rp4q = rp_seg.reshape(-1, 4)
         q_rp = (
-            rp_seg[:, 0]
-            | (rp_seg[:, 1] << 8)
-            | (rp_seg[:, 2] << 16)
-            | (rp_seg[:, 3] << 24)
-        ).astype(np.int32)
+            rp4q[:, 0]
+            | (rp4q[:, 1] << 8)
+            | (rp4q[:, 2] << 16)
+            | (rp4q[:, 3] << 24)
+        ).astype(np.int32)  # (nq * nwords,)
         nwin_q = nq // QG
-        q_rp = q_rp.reshape(nwin_q, QG)
+        q_rp = q_rp.reshape(nwin_q, QG * nwords)
         win_per_q = (padded_q // QG).astype(np.int64)
         qwin_stripe = np.append(
             np.repeat((gq_uniq // n_colpanels).astype(np.int32), win_per_q), -1
@@ -600,7 +610,7 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
         pos_q = np.arange(len(qk)) - tfirst_q[tile_of_nnz_q]
         qslot = (
             chunk_of_tile[tile_of_nnz_q] * TILE
-            + seg_of_tile[tile_of_nnz_q] * QUAD_SEG
+            + seg_of_tile[tile_of_nnz_q] * quad_seg
             + pos_q
         )
         qlrows.reshape(-1)[qslot] = (a_rows[is_quad] % TILE).astype(np.int32)
@@ -681,6 +691,7 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
         qwin_panel=asarray(qwin_panel),
         qwin_stripe=asarray(qwin_stripe),
         n_qchunks=nq,
+        quad_seg=quad_seg,
         qinv=asarray(qinv),
         dense_nnz=asarray(dense_nnz),
         dense_slot=asarray(dense_slot),
@@ -690,7 +701,7 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
 def build_tiled(
     rows, cols, vals, shape, *, stripe_tiles: int = 32, layout: str = "compact",
     group: int = 16, order: str = "degree", dense_tile_nnz: int | None = None,
-    tail_span: int = 1, quad_tail_nnz: int | None = None,
+    tail_span: int = 1, quad_tail_nnz: int | None = None, quad_seg: int = 32,
 ) -> TiledCSR:
     """Build both tiling orientations from COO data (deduped).
 
@@ -735,11 +746,11 @@ def build_tiled(
     if layout == "compact":
         fwd = _build_side_compact(
             rows_t, cols_t, vals, p, n, stripe_tiles, group, dense_tile_nnz,
-            tail_span, quad_tail_nnz,
+            tail_span, quad_tail_nnz, quad_seg,
         )
         bwd = _build_side_compact(
             cols_t, rows_t, vals, n, p, stripe_tiles, group, dense_tile_nnz,
-            tail_span, quad_tail_nnz,
+            tail_span, quad_tail_nnz, quad_seg,
         )
     else:
         fwd = _build_side(rows_t, cols_t, vals, p, n, stripe_tiles)
@@ -756,18 +767,19 @@ def build_tiled(
         asarray(col_perm),
         asarray(col_rank),
         (p, n),
-        (stripe_tiles, layout, group, dense_tile_nnz, quad_tail_nnz),
+        (stripe_tiles, layout, group, dense_tile_nnz, quad_tail_nnz, quad_seg),
     )
 
 
 def from_bcoo(X, *, stripe_tiles: int = 32, layout: str = "compact",
               group: int = 16, order: str = "degree",
               dense_tile_nnz: int | None = None, tail_span: int = 1,
-              quad_tail_nnz: int | None = None) -> TiledCSR:
+              quad_tail_nnz: int | None = None,
+              quad_seg: int = 32) -> TiledCSR:
     idx = np.asarray(X.indices)
     return build_tiled(
         idx[:, 0], idx[:, 1], np.asarray(X.data), X.shape,
         stripe_tiles=stripe_tiles, layout=layout, group=group, order=order,
         dense_tile_nnz=dense_tile_nnz, tail_span=tail_span,
-        quad_tail_nnz=quad_tail_nnz,
+        quad_tail_nnz=quad_tail_nnz, quad_seg=quad_seg,
     )

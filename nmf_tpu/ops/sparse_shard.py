@@ -128,6 +128,7 @@ class _ShardedSideC:
     qwin_panel: jax.Array | None = data_field(default=None)  # (R, C, nwin_q+1)
     qwin_stripe: jax.Array | None = data_field(default=None)
     n_qchunks: int = static_field(default=0)
+    quad_seg: int = static_field(default=32)  # sub-segment width (32 | 16)
 
     @property
     def n_slots(self) -> int:
@@ -259,7 +260,7 @@ def _pad_windows(panel, stripe, nwin0, add):
 
 
 def _pad_compact_block(s: TiledSideC, nwin_t: int, nwin_d_t: int,
-                       nwin_q_t: int):
+                       nwin_q_t: int, quad_seg: int = 32):
     """Pad one device block's compact side to the uniform window counts.
     Returns a dict of numpy arrays (the assembled global array's block) plus
     the perm remapped to the padded flat slot layout."""
@@ -301,23 +302,25 @@ def _pad_compact_block(s: TiledSideC, nwin_t: int, nwin_d_t: int,
         out.update(dvals=dv, dblk_panel=dp, dblk_stripe=dstr, dblk_rp=drp)
 
     if nwin_q_t:
+        nwords = (TILE // quad_seg) // 4  # packed rp words per chunk
         if s.n_qchunks:
             nwq0 = s.n_qchunks // QG
             qv = np.asarray(s.qvals)
             qlr, qlc = np.asarray(s.qlrows), np.asarray(s.qlcols)
             qrp = np.asarray(s.q_rp)
-            qp, qs = np.asarray(s.qwin_panel), np.asarray(s.qwin_stripe)
         else:
             nwq0, qv, qp, qs = _zero_dense_store(s.n_stripes, QG, (TILE,))
             qlr = np.zeros((nwq0 * QG, TILE), np.int32)
             qlc = np.zeros((nwq0 * QG, TILE), np.int32)
-            qrp = np.zeros((nwq0, QG), np.int32)
+            qrp = np.zeros((nwq0, QG * nwords), np.int32)
+        if s.n_qchunks:
+            qp, qs = np.asarray(s.qwin_panel), np.asarray(s.qwin_stripe)
         addq = nwin_q_t - nwq0
         if addq:
             qv = np.concatenate([qv, np.zeros((addq * QG, TILE), np.float32)])
             qlr = np.concatenate([qlr, np.zeros((addq * QG, TILE), np.int32)])
             qlc = np.concatenate([qlc, np.zeros((addq * QG, TILE), np.int32)])
-            qrp = np.concatenate([qrp, np.zeros((addq, QG), np.int32)])
+            qrp = np.concatenate([qrp, np.zeros((addq, QG * nwords), np.int32)])
             qp, qs = _pad_windows(qp, qs, nwq0, addq)
         out.update(qvals=qv, qlrows=qlr, qlcols=qlc, q_rp=qrp,
                    qwin_panel=qp, qwin_stripe=qs)
@@ -347,12 +350,13 @@ def _assemble_compact(mesh, R, C, fwd_blocks, bwd_blocks, targets,
     nwin_f, nwd_f, nwq_f, nwin_b, nwd_b, nwq_b = targets
     b0f = next(iter(fwd_blocks.values()))
     b0b = next(iter(bwd_blocks.values()))
+    qseg = b0f.quad_seg
     padded_f = {
-        k: _pad_compact_block(s, nwin_f, nwd_f, nwq_f)
+        k: _pad_compact_block(s, nwin_f, nwd_f, nwq_f, qseg)
         for k, s in fwd_blocks.items()
     }
     padded_b = {
-        k: _pad_compact_block(s, nwin_b, nwd_b, nwq_b)
+        k: _pad_compact_block(s, nwin_b, nwd_b, nwq_b, qseg)
         for k, s in bwd_blocks.items()
     }
     Sf = next(iter(padded_f.values()))["n_slots"]
@@ -401,6 +405,7 @@ def _assemble_compact(mesh, R, C, fwd_blocks, bwd_blocks, targets,
             qwin_panel=a("qwin_panel") if nwq else None,
             qwin_stripe=a("qwin_stripe") if nwq else None,
             n_qchunks=nwq * QUAD_GROUP,
+            quad_seg=src.quad_seg,
         )
 
     fwd = make_side(padded_f, b0f, nwin_f, nwd_f, nwq_f, True, _fwd_key,
@@ -451,7 +456,7 @@ def shard_tiled(
     rows, cols, vals, shape, mesh: Mesh, *, stripe_tiles: int = 32,
     local: bool = False, layout: str = "compact", group: int = 16,
     dense_tile_nnz: int | None = None, quad_tail_nnz: int | None = None,
-    order: str = "degree",
+    quad_seg: int = 32, order: str = "degree",
 ) -> ShardedTiled:
     """Build the 2-D sharded tiling from COO data for ``mesh``.
 
@@ -553,12 +558,12 @@ def shard_tiled(
             fwd_blocks[(i, j)] = _build_side_compact(
                 lr, lc, vals[m],
                 local_p, local_n, stripe_tiles, group, dense_tile_nnz,
-                1, quad_tail_nnz,
+                1, quad_tail_nnz, quad_seg,
             )
             bwd_blocks[(i, j)] = _build_side_compact(
                 lc, lr, vals[m],
                 local_n, local_p, stripe_tiles, group, dense_tile_nnz,
-                1, quad_tail_nnz,
+                1, quad_tail_nnz, quad_seg,
             )
         else:
             fwd_blocks[(i, j)] = _build_side(
@@ -752,7 +757,8 @@ def _local_matmul_compact(side: _ShardedSideC, a: dict, Dt_local, precision):
         out = out + _tiled_quad_impl(
             a["q_rp"], a["qwin_panel"], a["qwin_stripe"],
             a["qlrows"], a["qlcols"], a["qvals"], Dt_local,
-            (side.n_qchunks // QUAD_GROUP, QUAD_GROUP, stripe_width, p_pad),
+            (side.n_qchunks // QUAD_GROUP, QUAD_GROUP, stripe_width, p_pad,
+             side.quad_seg),
             False, precision,
         )
     return out
@@ -788,8 +794,11 @@ def _slot_coords_compact(side: _ShardedSideC, a: dict):
     if side.n_qchunks:
         qc = jnp.arange(side.n_qchunks)
         wq = qc // QUAD_GROUP
-        seg = jnp.arange(TILE) // QUAD_SEG  # sub-segment of each lane
-        rp_q = (a["q_rp"].reshape(-1)[qc][:, None] >> (8 * seg[None, :])) & 0xFF
+        nwords = (TILE // side.quad_seg) // 4
+        seg = jnp.arange(TILE) // side.quad_seg  # sub-segment of each lane
+        words = a["q_rp"].reshape(side.n_qchunks, nwords)
+        w = words[qc[:, None], seg[None, :] // 4]  # (nq, TILE)
+        rp_q = (w >> (8 * (seg[None, :] % 4))) & 0xFF
         row_q = ((a["qwin_stripe"][wq][:, None] * st + rp_q) * TILE) \
             + a["qlrows"]
         col_q = (a["qwin_panel"][wq] * TILE)[:, None] + a["qlcols"]
@@ -972,7 +981,9 @@ def _local_sddmm_kernels(side: _ShardedSideC, a: dict, Wl, Htl):
         qout = _tiled_sddmm_quad_impl(
             a["q_rp"], a["qwin_panel"], a["qwin_stripe"], a["qlrows"],
             a["qlcols"], Wt, Ht,
-            (side.n_qchunks // QUAD_GROUP, QUAD_GROUP, stripe_width), False,
+            (side.n_qchunks // QUAD_GROUP, QUAD_GROUP, stripe_width,
+             side.quad_seg),
+            False,
         )
         flat = jnp.concatenate([flat, qout.reshape(-1)])
     return flat

@@ -75,9 +75,11 @@ def shard_problem(mesh: Mesh, X, W, H):
 
         kw = {}
         if X.build_opts is not None:
-            st, layout, group, dense, quad = X.build_opts
+            st, layout, group, dense, quad, *rest = X.build_opts
             kw = dict(stripe_tiles=st, layout=layout, group=group,
                       dense_tile_nnz=dense, quad_tail_nnz=quad)
+            if rest:
+                kw["quad_seg"] = rest[0]
         X = shard_tiled(
             np.asarray(X.row_idx), np.asarray(X.col_idx), np.asarray(X.values),
             X.shape, mesh, **kw,

@@ -275,10 +275,12 @@ def test_stripe_tiles_packing_guard():
         _build_side_compact(rows, cols, vals, p, 128, 300, 8)
 
 
-def test_quad_tail_tiles_match_dense():
-    """quad_tail_nnz: <=32-nnz tiles packed four per chunk (32-slot
-    sub-segments, one row panel each).  mm/mtm/sddmm and value refreshes
-    agree with dense math, with and without the dense-head store."""
+@pytest.mark.parametrize("quad_seg", [32, 16])
+def test_quad_tail_tiles_match_dense(quad_seg):
+    """quad_tail_nnz: small tiles packed TILE//quad_seg per chunk (quad_seg-
+    slot sub-segments, one row panel each; seg 32 = quad, seg 16 = the
+    deep-tail octa variant).  mm/mtm/sddmm and value refreshes agree with
+    dense math, with and without the dense-head store."""
     from nmf_tpu.ops.pallas.sparse import tiled_mm, tiled_mtm, tiled_sddmm
     from nmf_tpu.ops.sparse_format import build_tiled
 
@@ -296,7 +298,8 @@ def test_quad_tail_tiles_match_dense():
     for dense_tile_nnz in (None, 256):
         X = build_tiled(
             r, c, Xd[r, c], Xd.shape, stripe_tiles=3, group=8, order="degree",
-            dense_tile_nnz=dense_tile_nnz, quad_tail_nnz=32,
+            dense_tile_nnz=dense_tile_nnz, quad_tail_nnz=min(32, quad_seg),
+            quad_seg=quad_seg,
         )
         assert X.fwd.n_qchunks > 0
         if dense_tile_nnz:
