@@ -39,7 +39,6 @@ from ..parallel.mesh import COLS, ROWS
 from .sparse_format import (
     DENSE_GROUP,
     QUAD_GROUP,
-    QUAD_SEG,
     TILE,
     TiledSide,
     TiledSideC,
