@@ -569,6 +569,11 @@ def config5_distributed_worker(args):
         float(jnp.sum(Hspa))
         spa_sec = time.perf_counter() - t0
 
+    # SPMD: every process must participate in the jitted stats reduction
+    imbalance = round(
+        sharded_load_stats(X)["imbalance_max_over_mean"], 3
+    )
+
     if pid == 0:
         print(
             json.dumps(
@@ -583,9 +588,7 @@ def config5_distributed_worker(args):
                     "k": k,
                     "nnz_per_device": int(bp * bn * density),
                     "layout": args.layout,
-                    "nnz_imbalance": round(
-                        sharded_load_stats(X)["imbalance_max_over_mean"], 3
-                    ),
+                    "nnz_imbalance": imbalance,
                     "spa_sec": None if spa_sec is None else round(spa_sec, 3),
                 }
             ),

@@ -35,7 +35,7 @@ from ..models.common import data_field, static_field
 TILE = 128  # row-panel height == col-panel width == chunk capacity
 DENSE_GROUP = 8  # dense-tile blocks per kernel grid step (multiple of 4)
 QUAD_GROUP = 8  # quad-tail chunks per kernel grid step
-QUAD_SEG = TILE // 4  # sub-segment capacity of a quad-tail chunk
+# (quad-tail sub-segment width is per-tiling: TiledSideC.quad_seg, 32 or 16)
 
 __all__ = [
     "TILE",

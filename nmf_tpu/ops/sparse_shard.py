@@ -123,7 +123,8 @@ class _ShardedSideC:
     qvals: jax.Array | None = data_field(default=None)  # (R, C, nq, TILE)
     qlrows: jax.Array | None = data_field(default=None)
     qlcols: jax.Array | None = data_field(default=None)
-    q_rp: jax.Array | None = data_field(default=None)  # (R, C, nwin_q, QG)
+    # (R, C, nwin_q, QG * (TILE//quad_seg)//4) packed rp words
+    q_rp: jax.Array | None = data_field(default=None)
     qwin_panel: jax.Array | None = data_field(default=None)  # (R, C, nwin_q+1)
     qwin_stripe: jax.Array | None = data_field(default=None)
     n_qchunks: int = static_field(default=0)
@@ -307,13 +308,12 @@ def _pad_compact_block(s: TiledSideC, nwin_t: int, nwin_d_t: int,
             qv = np.asarray(s.qvals)
             qlr, qlc = np.asarray(s.qlrows), np.asarray(s.qlcols)
             qrp = np.asarray(s.q_rp)
+            qp, qs = np.asarray(s.qwin_panel), np.asarray(s.qwin_stripe)
         else:
             nwq0, qv, qp, qs = _zero_dense_store(s.n_stripes, QG, (TILE,))
             qlr = np.zeros((nwq0 * QG, TILE), np.int32)
             qlc = np.zeros((nwq0 * QG, TILE), np.int32)
             qrp = np.zeros((nwq0, QG * nwords), np.int32)
-        if s.n_qchunks:
-            qp, qs = np.asarray(s.qwin_panel), np.asarray(s.qwin_stripe)
         addq = nwin_q_t - nwq0
         if addq:
             qv = np.concatenate([qv, np.zeros((addq * QG, TILE), np.float32)])
@@ -1256,23 +1256,33 @@ def sharded_load_stats(X: ShardedTiled) -> dict:
     across the (row-block, col-block) grid.  Returns per-block nonzero
     counts (real values, not padding) per store, the padded slot counts the
     kernels actually execute, and the max/mean imbalance ratio.  One jitted
-    reduction over the sharded arrays — no host gather of the matrix."""
+    program whose (R, C) count outputs are constrained replicated, so every
+    process can read them — multi-process safe, no host gather of the
+    matrix, and a single tunnel round-trip."""
     side = X.fwd
-    nnz_chunk = jnp.sum(side.vals != 0, axis=(2, 3))  # (R, C)
-    out = {"chunk_nnz": np.asarray(nnz_chunk)}
-    if isinstance(side, _ShardedSideC):
-        slots = side.lrows.shape[2] * TILE
+    rep = NamedSharding(X.mesh, P()) if X.mesh is not None else None
+    compact = isinstance(side, _ShardedSideC)
+    operands = {"chunk_nnz": (side.vals, (2, 3))}
+    slots = side.lrows.shape[2] * TILE
+    if compact:
         if side.n_dblocks:
-            out["dense_nnz"] = np.asarray(
-                jnp.sum(side.dvals != 0, axis=(2, 3, 4))
-            )
+            operands["dense_nnz"] = (side.dvals, (2, 3, 4))
             slots += side.n_dblocks * TILE * TILE
         if side.n_qchunks:
-            out["quad_nnz"] = np.asarray(jnp.sum(side.qvals != 0, axis=(2, 3)))
+            operands["quad_nnz"] = (side.qvals, (2, 3))
             slots += side.n_qchunks * TILE
-        out["padded_slots_per_device"] = slots
-    else:
-        out["padded_slots_per_device"] = side.lrows.shape[2] * TILE
+
+    def counts(arrs):
+        return {
+            nm: jnp.sum(a != 0, axis=operands[nm][1]) for nm, a in arrs.items()
+        }
+
+    fn = jax.jit(counts, out_shardings=rep) if rep is not None else counts
+    out = {
+        nm: np.asarray(v)
+        for nm, v in fn({nm: a for nm, (a, _) in operands.items()}).items()
+    }
+    out["padded_slots_per_device"] = slots
     total = sum(v for k, v in out.items() if k.endswith("_nnz"))
     out["total_nnz"] = total
     mean = float(total.mean())

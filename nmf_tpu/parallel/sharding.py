@@ -77,7 +77,10 @@ def shard_problem(mesh: Mesh, X, W, H):
         if X.build_opts is not None:
             st, layout, group, dense, quad, *rest = X.build_opts
             kw = dict(stripe_tiles=st, layout=layout, group=group,
-                      dense_tile_nnz=dense, quad_tail_nnz=quad)
+                      dense_tile_nnz=dense, quad_tail_nnz=quad,
+                      # build_opts predates the order knob: infer it from
+                      # whether the TiledCSR carries degree permutations
+                      order="degree" if X.row_perm is not None else "natural")
             if rest:
                 kw["quad_seg"] = rest[0]
         X = shard_tiled(
