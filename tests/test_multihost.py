@@ -181,9 +181,13 @@ W0 = put(rng.random((p, k)).astype(np.float32), P("rows", None))
 H0 = put(rng.random((k, n)).astype(np.float32), P(None, "cols"))
 res = nmf_tpu.solve(nmf_tpu.MultUpdate(obj="div", maxiter=3), X, W0, H0)
 
+# load stats are SPMD (every process participates) and multi-process safe
+from nmf_tpu.ops.sparse_shard import sharded_load_stats
+stats_total = int(sharded_load_stats(X)["total_nnz"].sum())
+
 print(
     f"RESULT {pid} {int(ok)} {frac:.4f} {nnz_local} {nnz_total} "
-    f"{res.objvalue:.8e}",
+    f"{res.objvalue:.8e} {stats_total}",
     flush=True,
 )
 """
@@ -226,15 +230,19 @@ def test_two_process_local_shard_build(tmp_path):
     for out in outs:
         for line in out.splitlines():
             if line.startswith("RESULT"):
-                _, pid, ok, frac, nnz_local, nnz_total, objv = line.split()
+                (_, pid, ok, frac, nnz_local, nnz_total, objv,
+                 stats_total) = line.split()
                 results[pid] = (int(ok), float(frac), int(nnz_local),
-                                int(nnz_total), float(objv))
+                                int(nnz_total), float(objv),
+                                int(stats_total))
     assert set(results) == {"0", "1"}, outs
-    for pid, (ok, frac, nnz_local, nnz_total, objv) in results.items():
+    for pid, (ok, frac, nnz_local, nnz_total, objv, st) in results.items():
         assert ok == 1
         assert frac <= 0.75, f"process {pid} materialized {frac:.0%} of slots"
         assert nnz_local < nnz_total
         assert np.isfinite(objv)
+        # every process sees the full (replicated) per-block count table
+        assert st == nnz_total
     # the two local nnz sets partition the matrix
     assert results["0"][2] + results["1"][2] == results["0"][3]
     # both processes agree on the global objective
