@@ -53,7 +53,42 @@ def numpy_baseline(X, W, H, iters):
     return iters / elapsed, objv
 
 
+def _probe_device(timeout_s=150):
+    """The axon tunnel wedges silently (device ops hang forever, ~0% CPU).
+    Probe with a tiny jitted matmul in a watchdog thread so a wedged tunnel
+    produces a fast, honest error line instead of hanging the driver."""
+    import threading
+
+    ok = []
+
+    def work():
+        import jax
+        import jax.numpy as jnp
+
+        y = jax.jit(lambda a: a @ a)(jnp.ones((256, 256)))
+        ok.append(float(y[0, 0]))
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main():
+    if not _probe_device():
+        print(
+            json.dumps(
+                {
+                    "metric": f"mu_mse_{P}x{N}_k{K}_iters_per_sec",
+                    "value": 0,
+                    "unit": "iterations/sec",
+                    "vs_baseline": 0,
+                    "error": "device probe hung: axon tunnel wedged",
+                }
+            )
+        )
+        return
+
     import jax
     import jax.numpy as jnp
 
