@@ -444,7 +444,16 @@ def config6():
     rows, cols, vals = _movielens_like(rng, p=p, n=n, nnz=90_000_000)
     nnz = len(vals)
     t0 = time.perf_counter()
-    X = build_tiled(rows, cols, vals, (p, n), dense_tile_nnz=192)
+    # tail_span=16: at this aspect ratio the post-dense-head tail spreads
+    # ~1 nnz per 128x128 tile over ~400k nonempty (stripe, panel) groups —
+    # narrow tiles pad the chunk store ~100x AND the per-window scalar-
+    # prefetch metadata (1.66 MB) blows the 1 MB SMEM budget (measured
+    # on-chip, r3).  16-wide tiles collapse the panel axis 16x: metadata
+    # fits and the pad collapses; the span-way gather cost only applies to
+    # the small tail fraction.
+    X = build_tiled(
+        rows, cols, vals, (p, n), dense_tile_nnz=192, tail_span=16
+    )
     build_sec = time.perf_counter() - t0
     W = jnp.asarray(rng.random((p, k), dtype=np.float32))
     H = jnp.asarray(rng.random((k, n), dtype=np.float32))

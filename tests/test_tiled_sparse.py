@@ -218,7 +218,7 @@ def test_hybrid_solver_matches_bcoo():
         np.testing.assert_allclose(np.asarray(b.W), np.asarray(a.W), rtol=2e-4, atol=1e-4)
         assert np.isclose(b.objvalue, a.objvalue, rtol=1e-4)
 
-@pytest.mark.parametrize("tail_span", [2, 4])
+@pytest.mark.parametrize("tail_span", [2, 4, 16])  # 16 = the config6 span
 def test_wide_tail_tiles_match_dense(tail_span):
     """tail_span > 1 (128 x span*128 wide chunk tiles for ultra-sparse
     residuals): mm/mtm/sddmm and value refreshes agree with dense math,
