@@ -284,6 +284,10 @@ def _build_side(rows, cols, vals, p, n, stripe_tiles):
     key = fkey[order]
     uniq, counts = np.unique(key, return_counts=True)
     max_chunks = int(np.max(np.ceil(counts / TILE))) if len(counts) else 1
+    # Mosaic requires the kernel's (tiles_per_step, TILE) block sublane dim
+    # to be a multiple of 8 — round the uniform chunk pad up to satisfy it
+    while (stripe_tiles * max_chunks) % 8:
+        max_chunks += 1
 
     tiles_per_step = stripe_tiles * max_chunks
     ntiles = n_stripes * n_colpanels * tiles_per_step
