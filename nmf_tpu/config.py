@@ -144,9 +144,8 @@ def precision_scope(value: str | None):
 #: Defaults were chosen from the config4 trip histogram
 #: (benchmarks/greedycd_trips.py); env-seeded so benchmarks can sweep them
 #: in fresh processes (``NMF_TPU_CASCADE_SHRINK`` / ``_MIN`` / ``_OFF_ROWS``).
-#: The knobs are read at *trace* time: changing them after a solve of the
-#: same shape has been jitted has no effect on the cached executable — use a
-#: fresh process (or different shapes) when sweeping.
+#: The knobs are read at *trace* time; ``set_greedycd_cascade`` clears the
+#: jit caches on change so later solves retrace with the new schedule.
 def _env_int(name: str, default: int, lo: int) -> int:
     import os
 
@@ -165,17 +164,34 @@ greedycd_cascade: dict[str, int] = {
     "off_rows": _env_int("NMF_TPU_CASCADE_OFF_ROWS", 4096, 1),
 }
 
+#: FNNLS compaction-cascade knobs (ops/fnnls.py) — same machinery as the
+#: GreedyCD cascade, over the NNLS right-hand-side columns: ``off_cols`` is
+#: the column count below which the plain masked loop runs uncompacted.
+#: Trace-time constants like the GreedyCD knobs.
+fnnls_cascade: dict[str, int] = {
+    "shrink": _env_int("NMF_TPU_FNNLS_SHRINK", 4, 2),
+    "min": _env_int("NMF_TPU_FNNLS_MIN", 256, 1),
+    "off_cols": _env_int("NMF_TPU_FNNLS_OFF_COLS", 2048, 1),
+}
+
 
 def set_greedycd_cascade(shrink: int | None = None, min: int | None = None,
                          off_rows: int | None = None):
     """Override the GreedyCD cascade schedule (None = keep current).
-    Takes effect on solves traced *after* the call — see the note above."""
+
+    The knobs are trace-time constants, so changing them drops jax's jit
+    caches (``jax.clear_caches()``) — otherwise an already-traced solve of
+    the same shape would silently keep the old schedule."""
+    changed = False
     for key, val in (("shrink", shrink), ("min", min), ("off_rows", off_rows)):
         if val is not None:
             if not isinstance(val, int) or val < (2 if key == "shrink" else 1):
                 raise ValueError(f"cascade {key} must be an int >= "
                                  f"{2 if key == 'shrink' else 1}")
+            changed |= greedycd_cascade[key] != val
             greedycd_cascade[key] = val
+    if changed:
+        jax.clear_caches()
 
 
 def set_use_pallas(value: bool):

@@ -192,7 +192,15 @@ def stable_argsort(keys: np.ndarray) -> np.ndarray:
     the 17.6M-key config4 tile keys), numpy otherwise."""
     lib = _load_lib()
     keys = np.ascontiguousarray(keys, np.int64)
-    if lib is not None and (1 << 16) <= len(keys) < (1 << 31):
+    # The radix path orders two's-complement digits, which puts negative
+    # keys AFTER positives — guard with one cheap O(n) min scan (all current
+    # call sites build non-negative fused tile keys, but a silent
+    # size-and-build-dependent ordering would be a brutal debug).
+    if (
+        lib is not None
+        and (1 << 16) <= len(keys) < (1 << 31)
+        and int(keys.min(initial=0)) >= 0
+    ):
         order = np.empty(len(keys), np.int64)
         lib.nmf_argsort64(len(keys), keys, order)
         return order

@@ -4,13 +4,24 @@ The reference delegates SPA's H estimate to
 ``NonNegLeastSquares.nonneg_lsq(W, X, alg=:fnnls)``
 (/root/reference/src/spa.jl:64).  Here FNNLS is a first-class component:
 an active-set state machine expressed as bounded ``lax.while_loop``s over a
-boolean passive-set mask, ``vmap``-batched over the right-hand-side columns —
-all n columns of X advance in lockstep on the TPU, each step being k x k
-masked solves (k is small, replicated across the mesh).
+boolean passive-set mask, batched over the right-hand-side columns.
 
 The passive-set linear solve uses the masking trick: rows/cols outside the
 passive set are replaced by identity so a single dense ``solve`` yields the
 sub-system solution with zeros elsewhere — no dynamic shapes.
+
+Lockstep mitigation (the GreedyCD trick, models/greedycd.py): a plain
+``vmap`` over columns runs EVERY column for the slowest column's outer-iter
+count, each step costing a k x k solve per column — NNLS solutions are
+sparse and most columns finish in a few coordinate additions while a heavy
+tail drives the loop.  The batched driver therefore runs an adaptive
+*compaction cascade*: masked full-width steps run only while the
+active-column count exceeds the next (1/shrink-sized) buffer, then the
+still-active columns are gathered into that buffer and the loop continues
+there, shrinking again as columns finish.  Finished columns' carries are
+held fixed by the step mask, so results are bit-identical to the plain
+vmapped loop (pinned in tests/test_fnnls.py).  Knobs live in
+``config.fnnls_cascade``.
 """
 
 from __future__ import annotations
@@ -29,6 +40,7 @@ class _Carry(NamedTuple):
     x: jax.Array  # current solution (k,)
     P: jax.Array  # passive-set mask (k,) bool
     w: jax.Array  # dual / negative gradient (k,)
+    atb: jax.Array  # this column's A'b (k,)
     outer: jax.Array
     done: jax.Array
 
@@ -44,13 +56,18 @@ def _masked_solve(AtA, Atb, P):
     return jnp.linalg.solve(A, b)
 
 
-def _fnnls_single(AtA, Atb, max_outer, tol):
+def _make_outer_body(AtA, tol):
+    """One outer FNNLS step for a single column (most-violated coordinate
+    enters the passive set, inner backtracking restores feasibility).
+    Columns whose optimality test fires take the freeze branch and set
+    ``done`` — NOT a fixed point on its own (``outer`` keeps counting), so
+    batched drivers must mask finished columns out."""
     k = AtA.shape[0]
     dt = AtA.dtype
     zero = jnp.zeros((), dt)
     neg_inf = jnp.asarray(-jnp.inf, dt)
 
-    def inner(x, P):
+    def inner(x, P, atb):
         """Backtrack until the passive solution is feasible (s_P > 0)."""
 
         class _IC(NamedTuple):
@@ -72,18 +89,15 @@ def _fnnls_single(AtA, Atb, max_outer, tol):
             alpha = jnp.min(ratio)
             x = c.x + alpha * (c.s - c.x)
             P = c.P & (x > tol)
-            s = _masked_solve(AtA, Atb, P)
+            s = _masked_solve(AtA, atb, P)
             return _IC(x, P, s, c.it + 1)
 
-        s0 = _masked_solve(AtA, Atb, P)
+        s0 = _masked_solve(AtA, atb, P)
         out = jax.lax.while_loop(
             cond, body, _IC(x, P, s0, jnp.zeros((), jnp.int32))
         )
         x = jnp.where(out.P, out.s, zero)
         return x, out.P
-
-    def cond(c: _Carry):
-        return jnp.logical_and(~c.done, c.outer < max_outer)
 
     def body(c: _Carry):
         # Pick the most violated inactive coordinate.
@@ -93,42 +107,124 @@ def _fnnls_single(AtA, Atb, max_outer, tol):
 
         def step(c: _Carry):
             P = c.P.at[j].set(True)
-            x, P = inner(c.x, P)
-            w = Atb - AtA @ x
-            return _Carry(x, P, w, c.outer + 1, jnp.zeros((), bool))
+            x, P = inner(c.x, P, c.atb)
+            w = c.atb - AtA @ x
+            return _Carry(x, P, w, c.atb, c.outer + 1, jnp.zeros((), bool))
 
         return jax.lax.cond(
             stop,
-            lambda c: _Carry(c.x, c.P, c.w, c.outer + 1, jnp.ones((), bool)),
+            lambda c: _Carry(
+                c.x, c.P, c.w, c.atb, c.outer + 1, jnp.ones((), bool)
+            ),
             step,
             c,
         )
 
-    init = _Carry(
-        jnp.zeros((k,), dt),
-        jnp.zeros((k,), bool),
-        Atb,
-        jnp.zeros((), jnp.int32),
-        jnp.zeros((), bool),
+    return body
+
+
+def _init_carry(AtB_cols):
+    """Batched initial carry from (n, k) right-hand Grams."""
+    n, k = AtB_cols.shape
+    return _Carry(
+        jnp.zeros((n, k), AtB_cols.dtype),
+        jnp.zeros((n, k), bool),
+        AtB_cols,
+        AtB_cols,
+        jnp.zeros((n,), jnp.int32),
+        jnp.zeros((n,), bool),
     )
-    return jax.lax.while_loop(cond, body, init).x
 
 
-def nnls_gram(AtA, AtB, *, max_outer: int | None = None):
+def nnls_gram(AtA, AtB, *, max_outer: int | None = None,
+              cascade: bool | None = None):
     """Batched FNNLS on precomputed Grams: minimize ``||A x_j - b_j||`` s.t.
     ``x_j >= 0`` for every column j of B, given ``AtA = A'A`` and
-    ``AtB = A'B`` (k x n).  Returns the (k x n) solution."""
-    k = AtA.shape[0]
+    ``AtB = A'B`` (k x n).  Returns the (k x n) solution.
+
+    ``cascade`` selects the compaction-cascade driver (None = on when the
+    column count clears ``config.fnnls_cascade["off_cols"]``); results are
+    identical either way.
+    """
+    from .. import config
+
+    k, n = AtA.shape[0], AtB.shape[1]
     if max_outer is None:
         max_outer = 3 * k + 10
     dt = AtA.dtype
     # NonNegLeastSquares.jl's fnnls tolerance: 10*eps*||AtA||_1*k.
     tol = 10 * jnp.finfo(dt).eps * jnp.max(jnp.sum(jnp.abs(AtA), axis=0)) * k
-    solve = jax.vmap(lambda atb: _fnnls_single(AtA, atb, max_outer, tol), in_axes=1, out_axes=1)
-    return solve(AtB)
+    body1 = _make_outer_body(AtA, tol)
+    body_vec = jax.vmap(body1)
+
+    knobs = config.fnnls_cascade
+    if cascade is None:
+        cascade = n >= knobs["off_cols"]
+
+    def active_of(c: _Carry):
+        return (~c.done) & (c.outer < max_outer)
+
+    def masked_step(c: _Carry):
+        new = body_vec(c)
+        a = active_of(c)
+        pick = lambda nw, od: jnp.where(
+            a.reshape((-1,) + (1,) * (nw.ndim - 1)), nw, od
+        )
+        return jax.tree_util.tree_map(pick, new, c)
+
+    if not cascade:
+        out = jax.lax.while_loop(
+            lambda c: jnp.any(active_of(c)), masked_step, _init_carry(AtB.T)
+        )
+        return out.x.T
+
+    # ---- compaction cascade (models/greedycd.py:183-230, same machinery):
+    # static buffer sizes n, n/shrink, ... down to the floor; each level
+    # runs masked full-width steps only while the active count exceeds the
+    # next buffer, then gathers the still-active columns into it.
+    shrink, floor = knobs["shrink"], knobs["min"]
+    caps = []
+    cur = n
+    while cur // shrink >= floor:
+        cur = cur // shrink
+        caps.append(cur)
+
+    x_full = jnp.zeros((n, k), dt)
+    idx = None  # level-0 buffer is the identity mapping
+    carry = _init_carry(AtB.T)
+    for next_cap in caps:
+
+        def level_cond(c, nc=next_cap):
+            return jnp.sum(active_of(c)) > nc
+
+        carry = jax.lax.while_loop(level_cond, masked_step, carry)
+        # checkpoint this level's solutions (columns finishing here keep
+        # them); fill slots carry idx == n and drop in the OOB scatter
+        if idx is None:
+            x_full = carry.x
+        else:
+            x_full = x_full.at[idx].set(carry.x, mode="drop")
+        act = active_of(carry)
+        nr = carry.x.shape[0]
+        (loc,) = jnp.nonzero(act, size=next_cap, fill_value=nr)
+        fill = loc >= nr
+        safe = jnp.minimum(loc, nr - 1)
+        carry = jax.tree_util.tree_map(lambda a: a[safe], carry)
+        # freeze fill slots (duplicate a real column's carry, never step)
+        carry = carry._replace(done=fill | carry.done)
+        idx = jnp.where(fill, n, loc if idx is None else idx[safe])
+
+    carry = jax.lax.while_loop(
+        lambda c: jnp.any(active_of(c)), masked_step, carry
+    )
+    if idx is None:
+        x_full = carry.x
+    else:
+        x_full = x_full.at[idx].set(carry.x, mode="drop")
+    return x_full.T
 
 
-def fnnls(A, B, *, precise: bool = True):
+def fnnls(A, B, *, precise: bool = True, cascade: bool | None = None):
     """minimize ``||A X - B||_F`` s.t. ``X >= 0`` columnwise
     (the reference's ``nonneg_lsq(W, X, alg=:fnnls)``, src/spa.jl:64).
 
@@ -146,4 +242,4 @@ def fnnls(A, B, *, precise: bool = True):
         AtB = matops.mtm(Aw.T, matops.scale_values(B, matops.nnz_values(B).astype(work_dt)))
     else:
         AtB = Aw.T @ B.astype(work_dt)
-    return nnls_gram(AtA, AtB).astype(dt)
+    return nnls_gram(AtA, AtB, cascade=cascade).astype(dt)

@@ -156,14 +156,34 @@ def _make_kernel(tiles_per_step, max_chunks, n_colpanels, stripe_width, K, preci
     return kernel
 
 
-def _make_kernel_compact(G, stripe_width, K, precision: str, span: int = 1):
+def _read_rp(rp_ref, i, G, t, rp_bits):
+    """Per-chunk row panel out of the packed scalar-prefetch words.
+
+    ``rp_bits == 8``: 4 rp bytes per word, window-aligned (G % 4 == 0), so
+    ``t % 4`` is static and the unpack is a free scalar shift+mask.
+    ``rp_bits == 5``: 6 rp per word packed flat over the global chunk index
+    ``i*G + t`` — the SMEM-budget encoding (north-star fix): word and slot
+    become dynamic scalars, one div/mod + dynamic shift on the scalar core,
+    fully hidden under the chunk's VPU/MXU work."""
+    if rp_bits == 8:
+        w = rp_ref[i * (G // 4) + t // 4]
+        return (w >> (8 * (t % 4))) & 0xFF
+    c = i * G + t
+    w = rp_ref[c // 6]
+    return (w >> (5 * (c % 6))) & 0x1F
+
+
+def _make_kernel_compact(G, stripe_width, K, precision: str, span: int = 1,
+                         rp_bits: int = 8):
     def kernel(
-        win_panel, win_stripe, rp_ref, lrows_ref, lcols_ref, vals_ref, dt_ref,
+        win_meta, rp_ref, lrows_ref, lcols_ref, vals_ref, dt_ref,
         out_hbm, acc_ref, copy_sem,
     ):
         i = pl.program_id(0)
-        s = win_stripe[i]
-        prev = win_stripe[jnp.maximum(i - 1, 0)]
+        # window word = stripe<<16 | panel (panel consumed by the index map);
+        # arithmetic >>16 recovers the stripe incl. the -1 sentinel
+        s = win_meta[i] >> 16
+        prev = win_meta[jnp.maximum(i - 1, 0)] >> 16
 
         @pl.when(jnp.logical_or(i == 0, prev != s))
         def _():
@@ -173,19 +193,16 @@ def _make_kernel_compact(G, stripe_width, K, precision: str, span: int = 1):
         rr = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
 
         # unrolled: static chunk slices (no dynamic sublane reads) and VPU/MXU
-        # instruction overlap across chunks.  Row panels arrive 4-per-int32
-        # (byte lanes; the SMEM budget fix) — t % 4 is static so unpacking
-        # is a free scalar shift+mask.
+        # instruction overlap across chunks
         for t in range(G):
-            w = rp_ref[i * (G // 4) + t // 4]
-            rp = (w >> (8 * (t % 4))) & 0xFF
+            rp = _read_rp(rp_ref, i, G, t, rp_bits)
             _chunk_update(
                 acc_ref, dblk, lrows_ref[t, :], lcols_ref[t, :], vals_ref[t, :],
                 rr, K, precision, rp, span,
             )
 
         # flush when the next window starts a new stripe (sentinel -1 at end)
-        @pl.when(win_stripe[i + 1] != s)
+        @pl.when((win_meta[i + 1] >> 16) != s)
         def _():
             copy = pltpu.make_async_copy(
                 acc_ref,
@@ -196,6 +213,28 @@ def _make_kernel_compact(G, stripe_width, K, precision: str, span: int = 1):
             copy.wait()
 
     return kernel
+
+
+def _pack_scalar_meta(chunk_rp, win_panel, win_stripe, G, rp_bits):
+    """Build the kernel's two scalar-prefetch operands from the stored
+    layout: merged window words (stripe<<16 | panel) and — for the 5-bit
+    encoding — rp repacked 6 per int32.  At the 2Mx200k north-star slab the
+    stored form (4 rp bytes/word + two window arrays) is 1.38 MB of scalar
+    operands vs the 1 MB SMEM budget; this form is ~860 KB
+    (benchmarks/results/config6_smem_finding_r03.jsonl).  Pure jnp, O(nnz /
+    TILE) elementwise — noise next to the matmul it feeds, and loop-invariant
+    in the solver while_loops."""
+    win_meta = (win_stripe.astype(jnp.int32) << 16) | (win_panel & 0xFFFF)
+    flat = chunk_rp.reshape(-1)
+    if rp_bits == 8:
+        return flat, win_meta
+    rp = (
+        (flat[:, None] >> (8 * jnp.arange(4, dtype=jnp.int32))) & 0xFF
+    ).reshape(-1)
+    npad = -(-rp.shape[0] // 6) * 6
+    six = jnp.pad(rp, (0, npad - rp.shape[0])).reshape(-1, 6)
+    packed = jnp.sum(six << (5 * jnp.arange(6, dtype=jnp.int32)), axis=1)
+    return packed.astype(jnp.int32), win_meta
 
 
 @partial(jax.jit, static_argnames=("meta", "interpret", "precision"))
@@ -253,23 +292,27 @@ def _tiled_matmul_compact_impl(
     (n_stripes, n_colpanels, n_windows, G, stripe_width, p_pad, span) = meta
     K = Dt.shape[0]
     prec = _resolve_precision(precision)
-    kernel = _make_kernel_compact(G, stripe_width, K, prec, span)
+    rp_bits = 5 if stripe_width // TILE <= 32 else 8
+    kernel = _make_kernel_compact(G, stripe_width, K, prec, span, rp_bits)
+    rp_packed, win_meta = _pack_scalar_meta(
+        chunk_rp, win_panel, win_stripe, G, rp_bits
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(n_windows,),
         in_specs=[
             pl.BlockSpec(
-                (G, TILE), lambda i, wp, ws, rp: (i, 0), memory_space=pltpu.VMEM
+                (G, TILE), lambda i, wm, rp: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (G, TILE), lambda i, wp, ws, rp: (i, 0), memory_space=pltpu.VMEM
+                (G, TILE), lambda i, wm, rp: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (G, TILE), lambda i, wp, ws, rp: (i, 0), memory_space=pltpu.VMEM
+                (G, TILE), lambda i, wm, rp: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (K, span * TILE), lambda i, wp, ws, rp: (0, wp[i]),
+                (K, span * TILE), lambda i, wm, rp: (0, wm[i] & 0xFFFF),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -290,7 +333,7 @@ def _tiled_matmul_compact_impl(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(win_panel, win_stripe, chunk_rp.reshape(-1), lrows, lcols, vals, Dt)
+    )(win_meta, rp_packed, lrows, lcols, vals, Dt)
     return out
 
 
@@ -590,19 +633,18 @@ def _dense_sample(side, Wt, Ht):
     ).reshape(-1)
 
 
-def _make_sddmm_kernel_compact(G, K, span=1):
+def _make_sddmm_kernel_compact(G, K, span=1, rp_bits=8):
     """SDDMM over the compact chunk layout: per 128-nnz chunk, lane-gather
     the W rows out of the stripe block and the H columns out of the col
     panel, multiply, reduce over sublanes — no scatter, no accumulator,
     exact f32 on the VPU (the MXU is never involved)."""
 
-    def kernel(win_panel, win_stripe, rp_ref, lrows_ref, lcols_ref, wt_ref,
+    def kernel(win_meta, rp_ref, lrows_ref, lcols_ref, wt_ref,
                ht_ref, out_ref):
         i = pl.program_id(0)
         hblk = ht_ref[:]  # (K, span*TILE) column panel of H
         for t in range(G):
-            w = rp_ref[i * (G // 4) + t // 4]
-            rp = (w >> (8 * (t % 4))) & 0xFF
+            rp = _read_rp(rp_ref, i, G, t, rp_bits)
             off = pl.multiple_of(rp * TILE, TILE)
             wblk = wt_ref[:, pl.ds(off, TILE)]  # (K, TILE) row panel of W'
             idxr = jnp.broadcast_to(lrows_ref[t, :][None, :], (K, TILE))
@@ -619,29 +661,33 @@ def _tiled_sddmm_compact_impl(
 ):
     (n_windows, G, stripe_width, span) = meta
     K = Wt.shape[0]
-    kernel = _make_sddmm_kernel_compact(G, K, span)
+    rp_bits = 5 if stripe_width // TILE <= 32 else 8
+    kernel = _make_sddmm_kernel_compact(G, K, span, rp_bits)
+    rp_packed, win_meta = _pack_scalar_meta(
+        chunk_rp, win_panel, win_stripe, G, rp_bits
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(n_windows,),
         in_specs=[
             pl.BlockSpec(
-                (G, TILE), lambda i, wp, ws, rp: (i, 0), memory_space=pltpu.VMEM
+                (G, TILE), lambda i, wm, rp: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (G, TILE), lambda i, wp, ws, rp: (i, 0), memory_space=pltpu.VMEM
+                (G, TILE), lambda i, wm, rp: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (K, stripe_width),
-                lambda i, wp, ws, rp: (0, ws[i]),
+                lambda i, wm, rp: (0, wm[i] >> 16),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (K, span * TILE), lambda i, wp, ws, rp: (0, wp[i]),
+                (K, span * TILE), lambda i, wm, rp: (0, wm[i] & 0xFFFF),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (G, TILE), lambda i, wp, ws, rp: (i, 0), memory_space=pltpu.VMEM
+            (G, TILE), lambda i, wm, rp: (i, 0), memory_space=pltpu.VMEM
         ),
     )
     return pl.pallas_call(
@@ -654,7 +700,7 @@ def _tiled_sddmm_compact_impl(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(win_panel, win_stripe, chunk_rp.reshape(-1), lrows, lcols, Wt, Ht)
+    )(win_meta, rp_packed, lrows, lcols, Wt, Ht)
 
 
 def _make_sddmm_quad_kernel(QG, K, seg_size=32):

@@ -164,8 +164,10 @@ class TiledCSR:
     col_perm: jax.Array | None = data_field(default=None)
     col_rank: jax.Array | None = data_field(default=None)
     shape: tuple[int, int] = static_field(default=(0, 0))
-    # (stripe_tiles, layout, group, dense_tile_nnz, quad_tail_nnz) the matrix
-    # was built with — lets shard_problem rebuild an equivalent ShardedTiled
+    # (stripe_tiles, layout, group, dense_tile_nnz, quad_tail_nnz, quad_seg)
+    # the matrix was built with — lets shard_problem rebuild an equivalent
+    # ShardedTiled (shard_problem unpacks positionally; keep in sync with
+    # build_tiled's constructor call)
     build_opts: tuple | None = static_field(default=None)
 
     @property
@@ -210,6 +212,19 @@ class TiledCSR:
                 if side.n_qchunks:
                     kw["qvals"] = flat[off:].reshape(side.qvals.shape)
             elif isinstance(side, TiledSideC):
+                # per-region maps: inv covers exactly the chunk region and
+                # the dense store has its own scatter pair.  An instance with
+                # a full flat-slot-space inv (the pre-per-region encoding)
+                # must not fall through to a mis-sized reshape.
+                if side.inv.size != side.vals.size or (
+                    side.n_dblocks and side.dense_nnz is None
+                ):
+                    raise ValueError(
+                        "TiledSideC with a legacy full-slot-space inv (or "
+                        "missing dense refresh maps) — rebuild the tiling "
+                        "with build_tiled(); pickled pre-round-3 instances "
+                        "are not supported"
+                    )
                 kw = {
                     "vals": jnp.take(
                         new_values, side.inv, mode="fill", fill_value=0

@@ -1254,11 +1254,19 @@ def sharded_load_stats(X: ShardedTiled) -> dict:
 
     On a pod the sweep rate is set by the slowest device, i.e. by data skew
     across the (row-block, col-block) grid.  Returns per-block nonzero
-    counts (real values, not padding) per store, the padded slot counts the
-    kernels actually execute, and the max/mean imbalance ratio.  One jitted
-    program whose (R, C) count outputs are constrained replicated, so every
-    process can read them — multi-process safe, no host gather of the
-    matrix, and a single tunnel round-trip."""
+    counts per store, the padded slot counts the kernels actually execute,
+    and the max/mean imbalance ratio.  One jitted program whose (R, C) count
+    outputs are constrained replicated, so every process can read them —
+    multi-process safe, no host gather of the matrix, and a single tunnel
+    round-trip.
+
+    Caveat: "nonzero" is measured as ``value != 0`` on the stored slots (the
+    pattern's padding slots are indistinguishable from a stored entry at
+    local (0, 0) without a per-block count the format doesn't carry), so
+    *explicitly stored zeros* — deduped COO input with zero values, or
+    values zeroed later by ``sharded_scale_values`` — count as padding:
+    ``total_nnz`` then undercounts the stored pattern.  The counts are a
+    load-skew diagnostic, not an exact nnz accounting."""
     side = X.fwd
     rep = NamedSharding(X.mesh, P()) if X.mesh is not None else None
     compact = isinstance(side, _ShardedSideC)

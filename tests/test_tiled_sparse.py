@@ -262,6 +262,43 @@ def test_wide_tail_tiles_match_dense(tail_span):
         )
 
 
+@pytest.mark.parametrize("stripe_tiles", [32, 64])
+def test_rp_packing_paths_match_dense(stripe_tiles):
+    """The kernel's two rp scalar-prefetch encodings (north-star SMEM fix):
+    stripe_tiles <= 32 packs row panels at 5 bits / 6 per word with dynamic
+    word+shift; larger stripes keep the 4-byte-lane form.  Both must agree
+    with dense math, with row panels actually exercising the high rp values
+    (rows span > 32 panels per stripe for the 8-bit case)."""
+    from nmf_tpu.ops.pallas.sparse import tiled_mm, tiled_mtm, tiled_sddmm
+    from nmf_tpu.ops.sparse_format import TILE, build_tiled
+
+    rng = np.random.default_rng(23)
+    p, n, k = stripe_tiles * TILE + 3 * TILE, 520, 9  # rp reaches stripe_tiles-1
+    nnz = 6000
+    r = rng.integers(0, p, nnz)
+    c = rng.integers(0, n, nnz)
+    Xd = np.zeros((p, n), np.float32)
+    Xd[r, c] = rng.random(nnz).astype(np.float32)
+    r, c = np.nonzero(Xd)
+    X = build_tiled(r, c, Xd[r, c], Xd.shape, stripe_tiles=stripe_tiles,
+                    order="natural")
+    D = jnp.asarray(rng.random((n, k)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(tiled_mm(X, D)), Xd @ np.asarray(D), rtol=3e-5, atol=2e-4
+    )
+    D2 = jnp.asarray(rng.random((p, k)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(tiled_mtm(X, D2)), Xd.T @ np.asarray(D2), rtol=3e-5, atol=2e-4
+    )
+    W = jnp.asarray(rng.random((p, k)).astype(np.float32))
+    H = jnp.asarray(rng.random((k, n)).astype(np.float32))
+    got = np.asarray(tiled_sddmm(X, W, H))
+    ref = (np.asarray(W) @ np.asarray(H))[
+        np.asarray(X.row_idx), np.asarray(X.col_idx)
+    ]
+    np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-4)
+
+
 def test_stripe_tiles_packing_guard():
     """stripe_tiles beyond the byte-packed row-panel range must raise, not
     silently corrupt kernel output (ADVICE r2)."""
