@@ -1,24 +1,34 @@
 """Benchmark harness — prints ONE JSON line.
 
-Headline config (BASELINE.json configs[0]): dense 500x500 X, rank-8, MU-MSE.
-Metric: iterations/sec of the full jitted solve loop (including the
-per-iteration convergence test, matching the reference's nmf_skeleton
-semantics).
+Headline metric (round 4+): **wall seconds to a fixed relative
+reconstruction error** on the sparse flagship single-chip config —
+BASELINE.md's stated metric ("iterations/sec + wall-time-to-tol") on the
+MovieLens-25M-shaped problem (163k x 59k power-law sparse, ~17.6M nnz,
+rank 128, Fast-HALS).  ``vs_baseline`` is the speedup over the
+reference-equivalent CPU implementation: the same exact-semantics
+Fast-HALS sweep (scipy.sparse CSR products + the sequential per-component
+Newton loop of /root/reference/src/coorddesc.jl:109-159) timed per
+iteration and extrapolated to the TPU run's iteration count — HALS is
+deterministic, so iterations-to-target match and the time ratio equals the
+rate ratio.
 
-Timing methodology: on this TPU the runtime's ``block_until_ready`` does not
-synchronize with device completion (tunnel transport), so we (a) force a
-device->host readback of the final objective and (b) time *differentially* —
-run N_small and N_big iterations and divide the elapsed-time delta by the
-iteration delta, which cancels the fixed dispatch+readback latency (~30-50ms)
-out of the measurement.
+The previous rounds' headline (dense 500x500 rank-8 MU-MSE
+iterations/sec) is kept as the ``c1_*`` fields for cross-round
+comparability — it saturated at dispatch cost (~300-390k it/s) and no
+longer measures the framework.
 
-``vs_baseline`` is the speedup over a reference-equivalent implementation:
-the same Lee-Seung MU-MSE sweep + stop-condition in numpy on CPU BLAS — the
-exact performance layer the Julia reference sits on
-(/root/reference/src/multupd.jl:96-115 via LinearAlgebra.mul!).
+Timing methodology: on this TPU the runtime's ``block_until_ready`` does
+not synchronize with device completion (tunnel transport), so every
+measured section forces a device->host readback, and the c1 rate is timed
+*differentially* (N_big - N_small iterations over the elapsed delta)
+which cancels the fixed dispatch+readback latency (~30-50ms).  The
+time-to-tol loop includes its per-chunk relerr readback as part of the
+honest cost of checking, matching a user iterating to a target quality.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -28,7 +38,7 @@ DTYPE = np.float32
 N_SMALL, N_BIG = 100, 2100
 
 
-def numpy_baseline(X, W, H, iters):
+def numpy_mu_baseline(X, W, H, iters):
     """Reference-equivalent MU-MSE loop on CPU BLAS (same math as
     src/multupd.jl:96-115 with the Gram-form matmuls + stop test)."""
     delta = np.sqrt(np.finfo(DTYPE).eps).astype(DTYPE)
@@ -53,6 +63,28 @@ def numpy_baseline(X, W, H, iters):
     return iters / elapsed, objv
 
 
+def numpy_hals_sec_per_iter(Xcsr, W, H, iters=2):
+    """Exact-semantics Fast-HALS sweep on scipy.sparse CSR — the CPU
+    performance layer the Julia reference sits on (sparse mul! + the
+    strictly sequential per-component scalar loop,
+    src/coorddesc.jl:109-175).  Returns measured seconds per iteration."""
+    k = W.shape[1]
+    Ht = np.ascontiguousarray(H.T)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        HHt = Ht.T @ Ht
+        XHt = np.asarray(Xcsr @ Ht)
+        for t in range(k):
+            grad = W @ HHt[:, t] - XHt[:, t]
+            W[:, t] = np.maximum(W[:, t] - grad / HHt[t, t], 0.0)
+        WtW = W.T @ W
+        XtW = np.asarray(Xcsr.T @ W)
+        for t in range(k):
+            grad = Ht @ WtW[:, t] - XtW[:, t]
+            Ht[:, t] = np.maximum(Ht[:, t] - grad / WtW[t, t], 0.0)
+    return (time.perf_counter() - t0) / iters
+
+
 def _probe_device(timeout_s=150):
     """The axon tunnel wedges silently (device ops hang forever, ~0% CPU).
     Probe with a tiny jitted matmul in a watchdog thread so a wedged tunnel
@@ -74,22 +106,8 @@ def _probe_device(timeout_s=150):
     return bool(ok)
 
 
-def main():
-    if not _probe_device():
-        print(
-            json.dumps(
-                {
-                    "metric": f"mu_mse_{P}x{N}_k{K}_iters_per_sec",
-                    "value": 0,
-                    "unit": "iterations/sec",
-                    "vs_baseline": 0,
-                    "error": "device probe hung: axon tunnel wedged",
-                }
-            )
-        )
-        return
-
-    import jax
+def measure_c1():
+    """Dense 500x500 rank-8 MU-MSE iterations/sec (the former headline)."""
     import jax.numpy as jnp
 
     from nmf_tpu.models.common import _solve_while
@@ -101,9 +119,7 @@ def main():
     H0 = rng.random((K, N), dtype=DTYPE)
 
     upd = MultUpdate(obj="mse")
-    Xd = jnp.asarray(X)
-    Wd = jnp.asarray(W0)
-    Hd = jnp.asarray(H0)
+    Xd, Wd, Hd = jnp.asarray(X), jnp.asarray(W0), jnp.asarray(H0)
     tol = jnp.asarray(1e-30, DTYPE)
 
     def run(iters):
@@ -118,21 +134,93 @@ def main():
     assert niters == N_BIG, f"early exit at {niters}"
     its_per_sec = (N_BIG - N_SMALL) / (t_big - t_small)
 
-    base_its, objv_np = numpy_baseline(X.copy(), W0.copy(), H0.copy(), N_SMALL)
+    base_its, objv_np = numpy_mu_baseline(X.copy(), W0.copy(), H0.copy(), N_SMALL)
     out100 = _solve_while(upd, Xd, Wd, Hd, jnp.asarray(N_SMALL, jnp.int32), tol)
     rel = abs(float(out100[4]) - float(objv_np)) / max(float(objv_np), 1e-30)
     assert rel < 0.05, f"convergence mismatch vs baseline at {N_SMALL} iters: {rel}"
+    return round(its_per_sec, 2), round(its_per_sec / base_its, 2)
 
-    print(
-        json.dumps(
-            {
-                "metric": f"mu_mse_{P}x{N}_k{K}_iters_per_sec",
-                "value": round(its_per_sec, 2),
-                "unit": "iterations/sec",
-                "vs_baseline": round(its_per_sec / base_its, 2),
-            }
+
+def measure_ttt4():
+    """Sparse flagship time-to-tol (benchmarks/run.py ttt4) + the
+    reference-equivalent numpy extrapolation."""
+    import scipy.sparse
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "benchmarks"))
+    import run as bench_suite
+
+    res = bench_suite.ttt4()
+    # reproduce ttt4's exact problem (same generator, same seed) for the
+    # CPU baseline
+    rng = np.random.default_rng(0)
+    p, n, k = 163_000, 59_000, 128
+    rows, cols, vals = bench_suite._movielens_like(rng)
+    Xcsr = scipy.sparse.csr_matrix((vals, (rows, cols)), shape=(p, n))
+    W = rng.random((p, k), dtype=np.float32)
+    H = rng.random((k, n), dtype=np.float32)
+    sec_per_iter = numpy_hals_sec_per_iter(Xcsr, W, H)
+    numpy_est = sec_per_iter * res["cd"]["iters"]
+    return res, round(numpy_est, 3)
+
+
+def main():
+    if not _probe_device():
+        print(
+            json.dumps(
+                {
+                    "metric": "ttt4_hals_sparse_163kx59k_k128_sec_to_tol",
+                    "value": 0,
+                    "unit": "sec_to_relerr_target",
+                    "vs_baseline": 0,
+                    "error": "device probe hung: axon tunnel wedged",
+                }
+            )
         )
-    )
+        return
+
+    c1_rate, c1_vs = measure_c1()
+    import jax
+
+    if jax.default_backend() == "cpu" or os.environ.get("NMF_BENCH_SMOKE"):
+        # CI smoke: the sparse flagship config is a TPU measurement
+        # (interpret-mode Pallas on CPU would take hours) — emit the c1 row
+        print(
+            json.dumps(
+                {
+                    "metric": f"mu_mse_{P}x{N}_k{K}_iters_per_sec",
+                    "value": c1_rate,
+                    "unit": "iterations/sec",
+                    "vs_baseline": c1_vs,
+                    "note": "cpu smoke: ttt4 headline skipped",
+                }
+            )
+        )
+        return
+    try:
+        res, numpy_est = measure_ttt4()
+        out = {
+            "metric": "ttt4_hals_sparse_163kx59k_k128_sec_to_tol",
+            "value": res["cd"]["sec"],
+            "unit": res["unit"],
+            "vs_baseline": round(numpy_est / max(res["cd"]["sec"], 1e-9), 2),
+            "hals_iters": res["cd"]["iters"],
+            "greedycd_sec": res["greedycd"]["sec"],
+            "greedycd_iters": res["greedycd"]["iters"],
+            "nnz": res["nnz"],
+            "numpy_hals_est_sec": numpy_est,
+            "c1_mu_mse_iters_per_sec": c1_rate,
+            "c1_vs_numpy": c1_vs,
+        }
+    except Exception as e:  # keep the driver row honest but non-empty
+        out = {
+            "metric": f"mu_mse_{P}x{N}_k{K}_iters_per_sec",
+            "value": c1_rate,
+            "unit": "iterations/sec",
+            "vs_baseline": c1_vs,
+            "ttt4_error": repr(e)[:400],
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

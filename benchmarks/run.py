@@ -451,9 +451,18 @@ def config6():
     # on-chip, r3).  16-wide tiles collapse the panel axis 16x: metadata
     # fits and the pad collapses; the span-way gather cost only applies to
     # the small tail fraction.
+    # dense_tile_nnz=512 (not config4's 192): at this scale the dense store
+    # is the HBM budget — 72k blocks at thresh 192 = 4.5 GB/side vs 1.9 GB
+    # at 512 (tile histogram, docs/sparse_kernel_design.md r4).  Pushing the
+    # threshold further (2048) overflows the OTHER budget: the mid-density
+    # tiles land in the chunk store and its G-padded chunk count put the rp
+    # scalar metadata back over 1 MB SMEM (measured: 1.24M chunks = 1.09 MB).
+    # group=8 halves the per-(stripe, panel)-group chunk padding for the
+    # same reason.  .slim() drops the ~4 GB of CSR refresh maps the MSE
+    # solvers never read.
     X = build_tiled(
-        rows, cols, vals, (p, n), dense_tile_nnz=192, tail_span=16
-    )
+        rows, cols, vals, (p, n), dense_tile_nnz=512, group=8, tail_span=16
+    ).slim()
     build_sec = time.perf_counter() - t0
     W = jnp.asarray(rng.random((p, k), dtype=np.float32))
     H = jnp.asarray(rng.random((k, n), dtype=np.float32))
@@ -497,6 +506,13 @@ def config5_distributed_worker(args):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.compile_cache:
+        # persistent XLA cache: the first pod run seeds it, every later run
+        # (and every host re-launch) skips the 12-113 s solver compiles —
+        # docs/pod_runbook.md step 2
+        import nmf_tpu.config as _cfg
+
+        _cfg.enable_compilation_cache()
     jax.distributed.initialize(
         coordinator_address=args.coordinator,
         num_processes=args.num_processes,
@@ -712,7 +728,7 @@ def main():
     ap.add_argument("--n-small", type=int, default=2)
     ap.add_argument("--no-spa", action="store_true")
     ap.add_argument("--layout", default="compact",
-                    help="ShardedTiled block layout: compact (default) | grid")
+                    help="ShardedTiled block layout (compact; grid retired r4)")
     ap.add_argument("--order", default="degree",
                     help="per-block renumbering: degree (default) | natural")
     ap.add_argument("--dense-tile-nnz", type=int, default=0,
@@ -720,6 +736,8 @@ def main():
     ap.add_argument("--quad-tail-nnz", type=int, default=0,
                     help="quad-tail threshold for config5d (0 = off)")
     ap.add_argument("--n-big", type=int, default=8)
+    ap.add_argument("--compile-cache", action="store_true",
+                    help="persist XLA compilations (~/.cache/nmf_tpu_xla)")
     args = ap.parse_args()
     names = args.configs or ["config1"]
     if "config5d" in names:

@@ -7,7 +7,7 @@ Each iteration is 2 sparse products = 2*nnz MAC-rows of work.
 
 Usage:
   python benchmarks/sparse_kernel.py [--dist uniform|powerlaw] [--p P] [--n N]
-      [--k K] [--density D | --nnz NNZ] [--paths bcoo,grid,compact]
+      [--k K] [--density D | --nnz NNZ] [--paths bcoo,compact]
       [--precisions highest,high,fast] [--groups 8] [--iters 20]
 
 Prints one JSON line per (path, precision) with Mnnz/s.
@@ -53,7 +53,7 @@ def main():
     ap.add_argument("--k", type=int, default=128)
     ap.add_argument("--density", type=float, default=0.01)
     ap.add_argument("--nnz", type=int, default=0)
-    ap.add_argument("--paths", default="bcoo,grid,compact")
+    ap.add_argument("--paths", default="bcoo,compact")
     ap.add_argument("--precisions", default="highest,fast")
     ap.add_argument("--groups", default="8")
     ap.add_argument("--dense", default="0", help="comma list of dense_tile_nnz thresholds (0=off)")
@@ -147,10 +147,6 @@ def main():
         return chain
 
     for prec in args.precisions.split(","):
-        if "grid" in paths:
-            Xg = build_tiled(rows, cols, vals, (args.p, args.n), layout="grid")
-            pad = Xg.fwd.vals.size / max(nnz, 1)
-            timed(tiled_chain(prec), Xg, "grid", {"precision": prec, "pad": round(pad, 2)})
         if "compact" in paths:
             for g in [int(x) for x in args.groups.split(",")]:
                 for dn in [int(x) for x in args.dense.split(",")]:

@@ -170,6 +170,8 @@ def sq_norm(X):
     """``sum(X**2)``."""
     if is_sharded_tiled(X):
         return X.stats[1]
+    if is_tiled(X) and X.stats is not None:
+        return X.stats[1]
     if is_sparse(X):
         v = nnz_values(X)
         return jnp.sum(v * v)
@@ -178,6 +180,8 @@ def sq_norm(X):
 
 def total_sum(X):
     if is_sharded_tiled(X):
+        return X.stats[0]
+    if is_tiled(X) and X.stats is not None:
         return X.stats[0]
     if is_sparse(X):
         return jnp.sum(nnz_values(X))
@@ -216,6 +220,8 @@ def rowsums(X):
 
 def all_nonneg(X):
     if is_sharded_tiled(X):
+        return X.stats[2] >= 0
+    if is_tiled(X) and X.stats is not None:
         return X.stats[2] >= 0
     if is_sparse(X):
         return jnp.all(nnz_values(X) >= 0)

@@ -87,17 +87,16 @@ def mse_objective(X, W, H):
     from .. import config as _config
 
     half = jnp.asarray(0.5, W.dtype)
-    if matops.is_sharded_tiled(X):
-        # Gram identity with only mm(): <X, WH> = <W, X @ H'>
+    if matops.is_sparse(X) or matops.is_sharded_tiled(X):
+        # Gram identity with only mm(): <X, WH> = <W, X @ H'>.  The SDDMM
+        # form (<values, WH_at_nnz>) is avoided on purpose: on a tiling
+        # with a large hybrid dense store it materializes per-block W/H
+        # panels + per-slot samples — measured 24 GB of HLO temps (HBM
+        # OOM) at the config6 slab's 78k dense blocks, vs one (p, k)
+        # temp here.
         cross = jnp.vdot(W, matops.mm(X, H.T))
         wh_sq = jnp.vdot(W.T @ W, H @ H.T)
         return half * (matops.sq_norm(X) - 2 * cross + wh_sq)
-    if matops.is_sparse(X):
-        xv = matops.nnz_values(X)
-        wh_at_nnz = matops.sddmm(W, H, X)
-        cross = jnp.vdot(xv, wh_at_nnz)
-        wh_sq = jnp.vdot(W.T @ W, H @ H.T)
-        return half * (jnp.vdot(xv, xv) - 2 * cross + wh_sq)
     if _config.pallas_enabled() and X.size > _SMALL:
         from .pallas.objectives import mse_objective_pallas
 

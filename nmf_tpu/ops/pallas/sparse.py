@@ -11,15 +11,14 @@ Computes ``out = X @ D`` for sparse X (nnz binned into 128x128 tiles, see
 * the out stripe is DMA'd to HBM once per stripe (the output lives in ANY
   memory space so the automatic per-step block write-back is avoided).
 
-Two layouts share that chunk pipeline:
-
-* **grid** (``TiledSide``): grid (stripe, col_panel) over a dense tile grid
-  padded to a uniform ``max_chunks`` chunks per tile;
-* **compact** (``TiledSideC``, default): 1-D grid over windows of ``group``
-  chunks covering only *nonempty* tiles; scalar-prefetched per-window maps
-  pick the D panel and detect stripe boundaries (accumulator zero/flush), and
-  each chunk's row panel streams through SMEM.  This removes both empty-tile
-  work and the max_chunks padding — the layout that survives power-law data.
+The **compact** layout (``TiledSideC``) drives that chunk pipeline: a 1-D
+grid over windows of ``group`` chunks covering only *nonempty* tiles;
+scalar-prefetched per-window maps pick the D panel and detect stripe
+boundaries (accumulator zero/flush), and each chunk's row panel streams
+through SMEM (5-bit x 6/word packed when stripe_tiles <= 32 — the
+north-star SMEM-budget encoding).  This keeps only real work and tail-chunk
+padding — the layout that survives power-law data.  (A dense stripe x panel
+grid layout existed through round 3 and was retired: 2.24x slower on-chip.)
 
 Everything is (k on sublanes x 128 lanes) layout; the caller passes D
 transposed and transposes the (k x p) result back — two cheap XLA transposes
@@ -45,7 +44,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..sparse_format import TILE, TiledCSR, TiledSide, TiledSideC
+from ..sparse_format import TILE, TiledCSR, TiledSideC
 
 __all__ = ["tiled_matmul_t", "tiled_mm", "tiled_mtm", "tiled_sddmm"]
 
@@ -121,41 +120,6 @@ def _chunk_update(acc_ref, dblk, lrow, lcol, val, rr, K, precision, rp, span=1):
     acc_ref[:, pl.ds(off, TILE)] += contrib
 
 
-def _make_kernel(tiles_per_step, max_chunks, n_colpanels, stripe_width, K, precision: str):
-    def kernel(lrows_ref, lcols_ref, vals_ref, dt_ref, out_hbm, acc_ref, copy_sem):
-        j = pl.program_id(1)
-
-        @pl.when(j == 0)
-        def _():
-            acc_ref[:] = jnp.zeros_like(acc_ref)
-
-        dblk = dt_ref[:]  # (K, TILE)
-        rr = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
-
-        def tile_body(t, carry):
-            rp = t // max_chunks
-            _chunk_update(
-                acc_ref, dblk, lrows_ref[t, :], lcols_ref[t, :], vals_ref[t, :],
-                rr, K, precision, rp,
-            )
-            return carry
-
-        jax.lax.fori_loop(0, tiles_per_step, tile_body, 0)
-
-        @pl.when(j == n_colpanels - 1)
-        def _():
-            s = pl.program_id(0)
-            copy = pltpu.make_async_copy(
-                acc_ref,
-                out_hbm.at[:, pl.ds(s * stripe_width, stripe_width)],
-                copy_sem,
-            )
-            copy.start()
-            copy.wait()
-
-    return kernel
-
-
 def _read_rp(rp_ref, i, G, t, rp_bits):
     """Per-chunk row panel out of the packed scalar-prefetch words.
 
@@ -192,14 +156,31 @@ def _make_kernel_compact(G, stripe_width, K, precision: str, span: int = 1,
         dblk = dt_ref[:]  # (K, span*TILE)
         rr = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
 
-        # unrolled: static chunk slices (no dynamic sublane reads) and VPU/MXU
-        # instruction overlap across chunks
-        for t in range(G):
-            rp = _read_rp(rp_ref, i, G, t, rp_bits)
-            _chunk_update(
-                acc_ref, dblk, lrows_ref[t, :], lcols_ref[t, :], vals_ref[t, :],
-                rr, K, precision, rp, span,
-            )
+        if span == 1:
+            # unrolled: static chunk slices (no dynamic sublane reads) and
+            # VPU/MXU instruction overlap across chunks
+            for t in range(G):
+                rp = _read_rp(rp_ref, i, G, t, rp_bits)
+                _chunk_update(
+                    acc_ref, dblk, lrows_ref[t, :], lcols_ref[t, :],
+                    vals_ref[t, :], rr, K, precision, rp, span,
+                )
+        else:
+            # wide-span tail chunks: the span-way decomposed gather keeps
+            # span (K, TILE) temporaries live per chunk — unrolling all G
+            # chunks stacks G*span of them (measured 34 MB > the 16 MB
+            # scoped-VMEM budget at span=16, K=256 on the config6 slab), so
+            # the chunk loop is sequential here and the stack stays at one
+            # chunk's worth
+            def tile_body(t, carry):
+                rp = _read_rp(rp_ref, i, G, t, rp_bits)
+                _chunk_update(
+                    acc_ref, dblk, lrows_ref[t, :], lcols_ref[t, :],
+                    vals_ref[t, :], rr, K, precision, rp, span,
+                )
+                return carry
+
+            jax.lax.fori_loop(0, G, tile_body, 0)
 
         # flush when the next window starts a new stripe (sentinel -1 at end)
         @pl.when((win_meta[i + 1] >> 16) != s)
@@ -235,53 +216,6 @@ def _pack_scalar_meta(chunk_rp, win_panel, win_stripe, G, rp_bits):
     six = jnp.pad(rp, (0, npad - rp.shape[0])).reshape(-1, 6)
     packed = jnp.sum(six << (5 * jnp.arange(6, dtype=jnp.int32)), axis=1)
     return packed.astype(jnp.int32), win_meta
-
-
-@partial(jax.jit, static_argnames=("meta", "interpret", "precision"))
-def _tiled_matmul_impl(lrows, lcols, vals, Dt, meta, interpret=False, precision="highest"):
-    # interpret: False (compile) | True | pltpu.InterpretParams (TPU semantics)
-    (n_stripes, n_colpanels, tiles_per_step, max_chunks, stripe_width, p_pad) = meta
-    K = Dt.shape[0]
-    prec = _resolve_precision(precision)
-    kernel = _make_kernel(tiles_per_step, max_chunks, n_colpanels, stripe_width, K, prec)
-
-    grid = (n_stripes, n_colpanels)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (tiles_per_step, TILE),
-                lambda s, j: (s * n_colpanels + j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (tiles_per_step, TILE),
-                lambda s, j: (s * n_colpanels + j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (tiles_per_step, TILE),
-                lambda s, j: (s * n_colpanels + j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((K, TILE), lambda s, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((K, p_pad), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((K, stripe_width), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * lrows.shape[0] * TILE * TILE * K,
-            bytes_accessed=3 * lrows.size * 4 + Dt.size * 4 * n_stripes + K * p_pad * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(lrows, lcols, vals, Dt)
-    return out
 
 
 @partial(jax.jit, static_argnames=("meta", "interpret", "precision"))
@@ -352,69 +286,50 @@ def tiled_matmul_t(side, D, *, interpret: bool = False, precision: str = "highes
     n_pad = side.n_colpanels * TILE * getattr(side, "span", 1)
     Dt = jnp.pad(Dt, ((0, K - k), (0, n_pad - Dt.shape[1])))
 
-    if isinstance(side, TiledSideC):
-        meta = (
-            side.n_stripes,
-            side.n_colpanels,
-            side.n_windows,
-            side.group,
-            stripe_width,
-            p_pad,
-            side.span,
-        )
-        out = _tiled_matmul_compact_impl(
-            side.chunk_rp,
-            side.win_panel,
-            side.win_stripe,
-            side.lrows,
-            side.lcols,
-            jnp.asarray(side.vals, jnp.float32),
+    meta = (
+        side.n_stripes,
+        side.n_colpanels,
+        side.n_windows,
+        side.group,
+        stripe_width,
+        p_pad,
+        side.span,
+    )
+    out = _tiled_matmul_compact_impl(
+        side.chunk_rp,
+        side.win_panel,
+        side.win_stripe,
+        side.lrows,
+        side.lcols,
+        jnp.asarray(side.vals, jnp.float32),
+        Dt,
+        meta,
+        interpret,
+        precision,
+    )
+    if side.n_dblocks:
+        out = out + _tiled_dense_impl(
+            side.dblk_rp,
+            side.dblk_panel,
+            side.dblk_stripe,
+            jnp.asarray(side.dvals, jnp.float32),
             Dt,
-            meta,
+            (side.n_dblocks, stripe_width, p_pad),
             interpret,
-            precision,
         )
-        if side.n_dblocks:
-            out = out + _tiled_dense_impl(
-                side.dblk_rp,
-                side.dblk_panel,
-                side.dblk_stripe,
-                jnp.asarray(side.dvals, jnp.float32),
-                Dt,
-                (side.n_dblocks, stripe_width, p_pad),
-                interpret,
-            )
-        if getattr(side, "n_qchunks", 0):
-            from ..sparse_format import QUAD_GROUP
+    if side.n_qchunks:
+        from ..sparse_format import QUAD_GROUP
 
-            out = out + _tiled_quad_impl(
-                side.q_rp,
-                side.qwin_panel,
-                side.qwin_stripe,
-                side.qlrows,
-                side.qlcols,
-                jnp.asarray(side.qvals, jnp.float32),
-                Dt,
-                (side.n_qchunks // QUAD_GROUP, QUAD_GROUP, stripe_width,
-                 p_pad, getattr(side, "quad_seg", 32)),
-                interpret,
-                precision,
-            )
-    else:
-        meta = (
-            side.n_stripes,
-            side.n_colpanels,
-            side.tiles_per_step,
-            side.max_chunks,
-            stripe_width,
-            p_pad,
-        )
-        out = _tiled_matmul_impl(
-            jnp.asarray(side.lrows),
-            jnp.asarray(side.lcols),
-            jnp.asarray(side.vals, jnp.float32),
+        out = out + _tiled_quad_impl(
+            side.q_rp,
+            side.qwin_panel,
+            side.qwin_stripe,
+            side.qlrows,
+            side.qlcols,
+            jnp.asarray(side.qvals, jnp.float32),
             Dt,
-            meta,
+            (side.n_qchunks // QUAD_GROUP, QUAD_GROUP, stripe_width,
+             p_pad, side.quad_seg),
             interpret,
             precision,
         )
@@ -643,7 +558,8 @@ def _make_sddmm_kernel_compact(G, K, span=1, rp_bits=8):
                ht_ref, out_ref):
         i = pl.program_id(0)
         hblk = ht_ref[:]  # (K, span*TILE) column panel of H
-        for t in range(G):
+
+        def chunk(t):
             rp = _read_rp(rp_ref, i, G, t, rp_bits)
             off = pl.multiple_of(rp * TILE, TILE)
             wblk = wt_ref[:, pl.ds(off, TILE)]  # (K, TILE) row panel of W'
@@ -651,6 +567,18 @@ def _make_sddmm_kernel_compact(G, K, span=1, rp_bits=8):
             wg = jnp.take_along_axis(wblk, idxr, axis=1)
             hg = _gather_wide(hblk, lcols_ref[t, :], K, span)
             out_ref[t, :] = jnp.sum(wg * hg, axis=0)
+
+        if span == 1:
+            for t in range(G):
+                chunk(t)
+        else:
+            # sequential chunk loop for wide spans — same scoped-VMEM
+            # reasoning as the matmul kernel above
+            def tile_body(t, carry):
+                chunk(t)
+                return carry
+
+            jax.lax.fori_loop(0, G, tile_body, 0)
 
     return kernel
 

@@ -39,33 +39,11 @@ QUAD_GROUP = 8  # quad-tail chunks per kernel grid step
 
 __all__ = [
     "TILE",
-    "TiledSide",
     "TiledSideC",
     "TiledCSR",
     "build_tiled",
     "from_bcoo",
 ]
-
-
-@jax.tree_util.register_dataclass
-@dataclasses.dataclass(frozen=True)
-class TiledSide:
-    """One orientation (rows x cols) of the tiling."""
-
-    lrows: jax.Array = data_field()  # (ntiles, TILE) int32, row within panel
-    lcols: jax.Array = data_field()  # (ntiles, TILE) int32, col within panel
-    vals: jax.Array = data_field()  # (ntiles, TILE) float
-    perm: jax.Array = data_field()  # (nnz,) int64: CSR-order slot in vals
-    n_stripes: int = static_field(default=1)
-    n_colpanels: int = static_field(default=1)
-    tiles_per_step: int = static_field(default=1)
-    panels_per_stripe: int = static_field(default=1)
-    max_chunks: int = static_field(default=1)
-    rows: int = static_field(default=0)
-    cols: int = static_field(default=0)
-    # (ntiles*TILE,) int64: CSR-order nnz index per slot (= inverse of perm;
-    # padding slots point one past the end).  Makes value refreshes a gather.
-    inv: jax.Array | None = data_field(default=None)
 
 
 @jax.tree_util.register_dataclass
@@ -77,7 +55,8 @@ class TiledSideC:
     padded to a multiple of ``group`` chunks; per-window scalar maps
     (``win_panel``/``win_stripe``, +1 sentinel entry) drive the kernel's
     scalar-prefetched index maps, and ``chunk_rp`` carries each chunk's row
-    panel within its stripe.  Versus the dense-grid ``TiledSide`` this drops
+    panel within its stripe.  Versus a dense stripe x panel grid (the
+    retired round-1 layout) this drops
     both the empty-tile chunks and the uniform ``max_chunks`` padding — the
     pad ratio falls from ``max_tile_nnz``-driven to the tail-chunk minimum,
     which is what makes power-law data (the MovieLens-style config) viable.
@@ -151,8 +130,8 @@ class TiledSideC:
 class TiledCSR:
     """Both orientations + CSR-order COO arrays."""
 
-    fwd: TiledSide = data_field()  # X tiling (p x n)
-    bwd: TiledSide = data_field()  # X' tiling (n x p)
+    fwd: TiledSideC = data_field()  # X tiling (p x n)
+    bwd: TiledSideC = data_field()  # X' tiling (n x p)
     row_idx: jax.Array = data_field()  # (nnz,) int32, CSR order, ORIGINAL coords
     col_idx: jax.Array = data_field()  # (nnz,) int32
     values: jax.Array = data_field()  # (nnz,)
@@ -169,10 +148,15 @@ class TiledCSR:
     # ShardedTiled (shard_problem unpacks positionally; keep in sync with
     # build_tiled's constructor call)
     build_opts: tuple | None = static_field(default=None)
+    # (sum, sum of squares, min) of the values, mirroring ShardedTiled's
+    # convention: lets sq_norm/total_sum/all_nonneg (the MSE objective and
+    # the front-door validation) run without touching the (nnz,) values
+    # array — which ``slim()`` drops from device entirely
+    stats: jax.Array | None = data_field(default=None)
 
     @property
     def dtype(self):
-        return self.values.dtype
+        return self.fwd.vals.dtype
 
     @property
     def nnz(self):
@@ -182,82 +166,72 @@ class TiledCSR:
     def ndim(self):
         return 2
 
+    def slim(self):
+        """Device-light view for MSE-family solves at capacity scale: drops
+        the CSR-order refresh maps (perm/inv/qinv + the dense scatter pair)
+        and the COO arrays — none of which the mm/mtm kernels or the
+        Gram-identity objective touch — keeping only the kernel operands,
+        the degree permutations, and ``stats``.  At the config6 slab
+        (2M x 200k, 85M nnz) this is ~4 GB of HBM the solve never reads.
+        ``with_values``/``tiled_sddmm`` (the divergence path) raise on a
+        slimmed instance; rebuild with ``build_tiled`` for those."""
+        strip = dict(perm=None, inv=None, qinv=None, dense_nnz=None,
+                     dense_slot=None)
+        return dataclasses.replace(
+            self,
+            fwd=dataclasses.replace(self.fwd, **strip),
+            bwd=dataclasses.replace(self.bwd, **strip),
+            row_idx=None,
+            col_idx=None,
+            values=None,
+        )
+
     def with_values(self, new_values):
         """Same pattern, new values (CSR order) — updates both orientations
         (chunk slots, quad slots AND the hybrid dense-tile blocks when
         present).  Chunk/quad regions refresh by an inverse-perm gather
         (padding slots fill with 0); the dense store by an O(nnz_dense)
-        scatter — the O(ndblk*TILE^2) element space is never materialized.
-        The perm-scatter path remains for grid-layout sides."""
+        scatter — the O(ndblk*TILE^2) element space is never materialized."""
 
         def refresh(side):
-            if isinstance(side, TiledSideC) and side.inv is None:
-                # legacy scatter over the full flat slot space (chunk, dense,
-                # quad region order), split back per region
-                total = side.vals.size + (
-                    side.dvals.size if side.n_dblocks else 0
-                ) + (side.qvals.size if side.n_qchunks else 0)
-                flat = (
-                    jnp.zeros(total, new_values.dtype)
-                    .at[side.perm]
-                    .set(new_values)
+            # per-region maps: inv covers exactly the chunk region and the
+            # dense store has its own scatter pair.  An instance with a full
+            # flat-slot-space inv (the pre-per-region encoding) must not
+            # fall through to a mis-sized reshape.
+            if side.inv is None or side.inv.size != side.vals.size or (
+                side.n_dblocks and side.dense_nnz is None
+            ):
+                raise ValueError(
+                    "TiledSideC with a legacy full-slot-space inv (or "
+                    "missing dense refresh maps) — rebuild the tiling "
+                    "with build_tiled(); pickled pre-round-3 instances "
+                    "are not supported"
                 )
-                n_chunk = side.vals.size
-                kw = {"vals": flat[:n_chunk].reshape(side.vals.shape)}
-                off = n_chunk
-                if side.n_dblocks:
-                    nd = side.dvals.size
-                    kw["dvals"] = flat[off : off + nd].reshape(side.dvals.shape)
-                    off += nd
-                if side.n_qchunks:
-                    kw["qvals"] = flat[off:].reshape(side.qvals.shape)
-            elif isinstance(side, TiledSideC):
-                # per-region maps: inv covers exactly the chunk region and
-                # the dense store has its own scatter pair.  An instance with
-                # a full flat-slot-space inv (the pre-per-region encoding)
-                # must not fall through to a mis-sized reshape.
-                if side.inv.size != side.vals.size or (
-                    side.n_dblocks and side.dense_nnz is None
-                ):
-                    raise ValueError(
-                        "TiledSideC with a legacy full-slot-space inv (or "
-                        "missing dense refresh maps) — rebuild the tiling "
-                        "with build_tiled(); pickled pre-round-3 instances "
-                        "are not supported"
-                    )
-                kw = {
-                    "vals": jnp.take(
-                        new_values, side.inv, mode="fill", fill_value=0
-                    ).reshape(side.vals.shape)
-                }
-                if side.n_dblocks:
-                    kw["dvals"] = (
-                        jnp.zeros(side.dvals.size, new_values.dtype)
-                        .at[side.dense_slot]
-                        .set(new_values[side.dense_nnz])
-                        .reshape(side.dvals.shape)
-                    )
-                if side.n_qchunks:
-                    kw["qvals"] = jnp.take(
-                        new_values, side.qinv, mode="fill", fill_value=0
-                    ).reshape(side.qvals.shape)
-            elif side.inv is not None:
-                flat = jnp.take(new_values, side.inv, mode="fill", fill_value=0)
-                kw = {"vals": flat.reshape(side.vals.shape)}
-            else:
-                flat = (
-                    jnp.zeros(side.vals.size, new_values.dtype)
-                    .at[side.perm]
-                    .set(new_values)
+            kw = {
+                "vals": jnp.take(
+                    new_values, side.inv, mode="fill", fill_value=0
+                ).reshape(side.vals.shape)
+            }
+            if side.n_dblocks:
+                kw["dvals"] = (
+                    jnp.zeros(side.dvals.size, new_values.dtype)
+                    .at[side.dense_slot]
+                    .set(new_values[side.dense_nnz])
+                    .reshape(side.dvals.shape)
                 )
-                kw = {"vals": flat.reshape(side.vals.shape)}
+            if side.n_qchunks:
+                kw["qvals"] = jnp.take(
+                    new_values, side.qinv, mode="fill", fill_value=0
+                ).reshape(side.qvals.shape)
             return dataclasses.replace(side, **kw)
 
+        v32 = new_values.astype(jnp.float32)
         return dataclasses.replace(
             self,
             fwd=refresh(self.fwd),
             bwd=refresh(self.bwd),
             values=new_values,
+            stats=jnp.stack([jnp.sum(v32), jnp.sum(v32 * v32), jnp.min(v32)]),
         )
 
     def transpose(self):
@@ -273,77 +247,6 @@ class TiledCSR:
             col_rank=self.row_rank,
             shape=(self.shape[1], self.shape[0]),
         )
-
-
-def _build_side(rows, cols, vals, p, n, stripe_tiles):
-    """Bin (row, col, val) into the tile/chunk layout for one orientation.
-    Returns a TiledSide whose ``perm[i]`` is the flat slot of input nnz i."""
-    n_rowpanels = -(-p // TILE)
-    n_colpanels = -(-n // TILE)
-    stripe_tiles = min(stripe_tiles, n_rowpanels)
-    n_stripes = -(-n_rowpanels // stripe_tiles)
-
-    rp = rows // TILE
-    cp = cols // TILE
-    stripe = rp // stripe_tiles
-    rp_in_stripe = rp % stripe_tiles
-
-    from ..io.loader import gather3, stable_argsort
-
-    fkey = (stripe.astype(np.int64) * n_colpanels + cp) * stripe_tiles \
-        + rp_in_stripe
-    order = stable_argsort(fkey)  # == lexsort((rps, cp, stripe))
-    s_rows, s_cols, s_vals = gather3(order, rows, cols, vals)
-    s_stripe, s_cp, s_rps = stripe[order], cp[order], rp_in_stripe[order]
-
-    key = fkey[order]
-    uniq, counts = np.unique(key, return_counts=True)
-    max_chunks = int(np.max(np.ceil(counts / TILE))) if len(counts) else 1
-    # Mosaic requires the kernel's (tiles_per_step, TILE) block sublane dim
-    # to be a multiple of 8 — round the uniform chunk pad up to satisfy it
-    while (stripe_tiles * max_chunks) % 8:
-        max_chunks += 1
-
-    tiles_per_step = stripe_tiles * max_chunks
-    ntiles = n_stripes * n_colpanels * tiles_per_step
-    lrows = np.zeros((ntiles, TILE), np.int32)
-    lcols = np.zeros((ntiles, TILE), np.int32)
-    out_vals = np.zeros((ntiles, TILE), np.float32)
-
-    starts = np.searchsorted(key, uniq)
-    pos_in_group = np.arange(len(key)) - np.repeat(starts, counts)
-    chunk_of = pos_in_group // TILE
-    slot_of = pos_in_group % TILE
-
-    tile_index = (
-        (s_stripe.astype(np.int64) * n_colpanels + s_cp) * tiles_per_step
-        + s_rps * max_chunks
-        + chunk_of
-    )
-    lrows[tile_index, slot_of] = (s_rows % TILE).astype(np.int32)
-    lcols[tile_index, slot_of] = (s_cols % TILE).astype(np.int32)
-    out_vals[tile_index, slot_of] = s_vals
-
-    flat_slot = tile_index * TILE + slot_of
-    perm = np.empty(len(key), np.int64)
-    perm[order] = flat_slot  # input-order nnz -> slot
-    inv = np.full(ntiles * TILE, len(key), np.int64)
-    inv[perm] = np.arange(len(key))
-
-    return TiledSide(
-        jnp.asarray(lrows),
-        jnp.asarray(lcols),
-        jnp.asarray(out_vals),
-        jnp.asarray(perm),
-        n_stripes,
-        n_colpanels,
-        tiles_per_step,
-        stripe_tiles,
-        max_chunks,
-        p,
-        n,
-        jnp.asarray(inv),
-    )
 
 
 def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
@@ -726,10 +629,10 @@ def build_tiled(
 
     ``stripe_tiles`` row panels per stripe: the kernel's out scratch is
     ``stripe_tiles * 128`` rows x k values (32 panels x k=128 x f32 = 2 MB
-    VMEM).  ``layout="compact"`` (default) stores only nonempty tiles' chunks
-    with scalar-prefetched window maps; ``layout="grid"`` is the dense
-    stripe x panel grid with uniform ``max_chunks`` padding.  ``group`` is the
-    chunks-per-grid-step granularity of the compact kernel.
+    VMEM).  ``layout`` must be ``"compact"`` (nonempty tiles' chunks with
+    scalar-prefetched window maps) — the round-1 dense ``"grid"`` layout was
+    retired in round 4 after measuring 2.24x slower on-chip.  ``group`` is
+    the chunks-per-grid-step granularity of the kernel.
 
     ``order="degree"`` renumbers rows and columns by descending degree before
     binning, so power-law data (ratings matrices) packs its head into dense
@@ -762,19 +665,28 @@ def build_tiled(
         rows_t = row_rank[rows]
         cols_t = col_rank[cols]
 
-    if layout == "compact":
-        fwd = _build_side_compact(
-            rows_t, cols_t, vals, p, n, stripe_tiles, group, dense_tile_nnz,
-            tail_span, quad_tail_nnz, quad_seg,
+    if layout != "compact":
+        raise ValueError(
+            f"layout={layout!r} is not supported: the dense 'grid' layout "
+            "was retired (compact measured 2.24x faster on-chip, round 3)"
         )
-        bwd = _build_side_compact(
-            cols_t, rows_t, vals, n, p, stripe_tiles, group, dense_tile_nnz,
-            tail_span, quad_tail_nnz, quad_seg,
-        )
-    else:
-        fwd = _build_side(rows_t, cols_t, vals, p, n, stripe_tiles)
-        bwd = _build_side(cols_t, rows_t, vals, n, p, stripe_tiles)
+    fwd = _build_side_compact(
+        rows_t, cols_t, vals, p, n, stripe_tiles, group, dense_tile_nnz,
+        tail_span, quad_tail_nnz, quad_seg,
+    )
+    bwd = _build_side_compact(
+        cols_t, rows_t, vals, n, p, stripe_tiles, group, dense_tile_nnz,
+        tail_span, quad_tail_nnz, quad_seg,
+    )
     asarray = lambda a: None if a is None else jnp.asarray(a)
+    stats = np.asarray(
+        [
+            vals.sum(dtype=np.float64),
+            (vals.astype(np.float64) ** 2).sum(),
+            vals.min() if len(vals) else 0.0,
+        ],
+        np.float32,
+    )
     return TiledCSR(
         fwd,
         bwd,
@@ -787,6 +699,7 @@ def build_tiled(
         asarray(col_rank),
         (p, n),
         (stripe_tiles, layout, group, dense_tile_nnz, quad_tail_nnz, quad_seg),
+        stats=jnp.asarray(stats),
     )
 
 

@@ -2,10 +2,9 @@
 
 2-D decomposition matching the canonical dense layout (X: P(rows, cols)):
 device (i, j) owns the nonzeros whose row falls in row-block i and column in
-col-block j, stored in *local* coordinates — by default as a compact
-TiledSideC (the measured-fastest single-chip layout, incl. the hybrid
-dense-tile / quad-tail stores and per-block degree renumbering), optionally
-as the round-1 grid TiledSide (``layout="grid"``).
+col-block j, stored in *local* coordinates as a compact TiledSideC (the
+measured-fastest single-chip layout, incl. the hybrid dense-tile /
+quad-tail stores and per-block degree renumbering).
 
 * ``X @ D``  (p x k): D is row-sharded over the mesh "cols" axis (each device
   holds exactly its column panels), every device runs the single-chip Pallas
@@ -40,9 +39,7 @@ from .sparse_format import (
     DENSE_GROUP,
     QUAD_GROUP,
     TILE,
-    TiledSide,
     TiledSideC,
-    _build_side,
     _build_side_compact,
 )
 
@@ -59,27 +56,6 @@ __all__ = [
     "sharded_rowsums",
     "sharded_load_stats",
 ]
-
-
-@jax.tree_util.register_dataclass
-@dataclasses.dataclass(frozen=True)
-class _ShardedSide:
-    """Per-device TiledSides for one orientation, as global sharded arrays.
-
-    Arrays have leading (R, C) device axes (fwd; (C, R) for bwd), sharded
-    one block per device; each process materializes only its own blocks.
-    """
-
-    lrows: jax.Array = data_field()  # (R, C, ntiles, TILE) int32
-    lcols: jax.Array = data_field()
-    vals: jax.Array = data_field()
-    n_stripes: int = static_field(default=1)
-    n_colpanels: int = static_field(default=1)
-    tiles_per_step: int = static_field(default=1)
-    panels_per_stripe: int = static_field(default=1)
-    max_chunks: int = static_field(default=1)
-    local_rows: int = static_field(default=0)  # padded local row count
-    local_cols: int = static_field(default=0)  # padded local col count
 
 
 @jax.tree_util.register_dataclass
@@ -153,8 +129,8 @@ class ShardedTiled:
     logically (``transpose()`` is free).
     """
 
-    fwd: _ShardedSide = data_field()
-    bwd: _ShardedSide = data_field()
+    fwd: _ShardedSideC = data_field()
+    bwd: _ShardedSideC = data_field()
     stats: jax.Array = data_field(default=None)
     # (C, R, bwd_slots) int32: for each bwd chunk slot, the fwd chunk slot
     # holding the same nonzero (out-of-range = padding).  Lets per-nnz value
@@ -191,48 +167,6 @@ class ShardedTiled:
             shape=(self.shape[1], self.shape[0]),
             transposed=not self.transposed,
         )
-
-
-def _side_meta(local_p, local_n, stripe_tiles, max_chunks):
-    """Static grid metadata of one block orientation (mirrors _build_side)."""
-    n_rowpanels = -(-local_p // TILE)
-    n_colpanels = -(-local_n // TILE)
-    st = min(stripe_tiles, n_rowpanels)
-    n_stripes = -(-n_rowpanels // st)
-    tiles_per_step = st * max_chunks
-    ntiles = n_stripes * n_colpanels * tiles_per_step
-    return n_stripes, n_colpanels, tiles_per_step, st, ntiles
-
-
-def _pad_side(s: TiledSide, max_mc: int):
-    """Pad a block's chunk arrays to ``max_mc`` chunk slots per tile; returns
-    (lrows, lcols, vals, perm) as numpy with the perm remapped to the padded
-    slot layout."""
-    lr0 = np.asarray(s.lrows)
-    lc0 = np.asarray(s.lcols)
-    vv0 = np.asarray(s.vals)
-    perm0 = np.asarray(s.perm)
-    if s.max_chunks == max_mc:
-        return lr0, lc0, vv0, perm0
-    n_groups = s.n_stripes * s.n_colpanels * s.panels_per_stripe
-    lr = np.zeros((n_groups * max_mc, TILE), np.int32)
-    lc = np.zeros_like(lr)
-    vv = np.zeros(lr.shape, np.float32)
-    lr.reshape(n_groups, max_mc, TILE)[:, : s.max_chunks] = lr0.reshape(
-        n_groups, s.max_chunks, TILE
-    )
-    lc.reshape(n_groups, max_mc, TILE)[:, : s.max_chunks] = lc0.reshape(
-        n_groups, s.max_chunks, TILE
-    )
-    vv.reshape(n_groups, max_mc, TILE)[:, : s.max_chunks] = vv0.reshape(
-        n_groups, s.max_chunks, TILE
-    )
-    # remap slot perm: old slot ((g*old_mc + c)*TILE + t) ->
-    # ((g*max_mc + c)*TILE + t)
-    tile_old, slot = perm0 // TILE, perm0 % TILE
-    g, c = tile_old // s.max_chunks, tile_old % s.max_chunks
-    perm = (g * max_mc + c) * TILE + slot
-    return lr, lc, vv, perm
 
 
 def _zero_dense_store(n_stripes, nblk_win, blk_shape):
@@ -470,30 +404,30 @@ def shard_tiled(
     passes only its own nonzeros (e.g. from its input-file shard); entries
     that belong to another process's blocks raise.
 
-    ``layout="compact"`` (default) stores each device block in the round-2
-    compact layout (nonempty-tile chunks, scalar-prefetched window maps) —
-    the measured-fastest single-chip layout; ``dense_tile_nnz`` /
-    ``quad_tail_nnz`` enable its hybrid dense-tile and quad-tail stores per
-    block.  ``layout="grid"`` keeps the uniform stripe x panel grid.
+    Each device block is stored in the compact layout (nonempty-tile
+    chunks, scalar-prefetched window maps) — the measured-fastest
+    single-chip layout; ``dense_tile_nnz`` / ``quad_tail_nnz`` enable its
+    hybrid dense-tile and quad-tail stores per block.  (The round-1
+    ``layout="grid"`` was retired: 2.24x slower on-chip.)
 
-    ``order="degree"`` (default with compact) renumbers each block row's
-    local rows (and block column's local cols) by descending degree over the
-    whole block row/column, so power-law heads pack into dense tiles exactly
-    like the single-chip degree sort — the orderings are per-mesh-row /
+    ``order="degree"`` (default) renumbers each block row's local rows (and
+    block column's local cols) by descending degree over the whole block
+    row/column, so power-law heads pack into dense tiles exactly like the
+    single-chip degree sort — the orderings are per-mesh-row /
     per-mesh-column consistent, so the psum partials align and the factor
     perm gathers stay device-local.  ``order="natural"`` keeps original
-    coordinates (the only choice for ``layout="grid"``).
+    coordinates.
     """
     p, n = shape
     R = mesh.shape[ROWS]
     C = mesh.shape[COLS]
-    if layout not in ("grid", "compact"):
-        raise ValueError("layout must be 'grid' or 'compact'")
-    compact = layout == "compact"
+    if layout != "compact":
+        raise ValueError(
+            f"layout={layout!r} is not supported: the 'grid' layout was "
+            "retired (compact measured 2.24x faster on-chip, round 3)"
+        )
     if order not in ("degree", "natural"):
         raise ValueError("order must be 'degree' or 'natural'")
-    if not compact:
-        order = "natural"
     rows = np.asarray(rows, np.int32)
     cols = np.asarray(cols, np.int32)
     vals = np.asarray(vals, np.float32)
@@ -553,24 +487,16 @@ def shard_tiled(
         if order == "degree":
             lr = row_rank_blk[i][lr]
             lc = col_rank_blk[j][lc]
-        if compact:
-            fwd_blocks[(i, j)] = _build_side_compact(
-                lr, lc, vals[m],
-                local_p, local_n, stripe_tiles, group, dense_tile_nnz,
-                1, quad_tail_nnz, quad_seg,
-            )
-            bwd_blocks[(i, j)] = _build_side_compact(
-                lc, lr, vals[m],
-                local_n, local_p, stripe_tiles, group, dense_tile_nnz,
-                1, quad_tail_nnz, quad_seg,
-            )
-        else:
-            fwd_blocks[(i, j)] = _build_side(
-                lr, lc, vals[m], local_p, local_n, stripe_tiles,
-            )
-            bwd_blocks[(i, j)] = _build_side(
-                lc, lr, vals[m], local_n, local_p, stripe_tiles,
-            )
+        fwd_blocks[(i, j)] = _build_side_compact(
+            lr, lc, vals[m],
+            local_p, local_n, stripe_tiles, group, dense_tile_nnz,
+            1, quad_tail_nnz, quad_seg,
+        )
+        bwd_blocks[(i, j)] = _build_side_compact(
+            lc, lr, vals[m],
+            local_n, local_p, stripe_tiles, group, dense_tile_nnz,
+            1, quad_tail_nnz, quad_seg,
+        )
     if local and not covered.all():
         raise ValueError(
             "local=True: some nonzeros fall in blocks owned by other "
@@ -578,22 +504,17 @@ def shard_tiled(
         )
 
     # uniform padding bounds + value stats: the only cross-process agreement
-    if compact:
-        pads_local = np.asarray(
-            [
-                max(s.n_windows for s in fwd_blocks.values()),
-                max(s.n_dblocks // DENSE_GROUP for s in fwd_blocks.values()),
-                max(s.n_qchunks // QUAD_GROUP for s in fwd_blocks.values()),
-                max(s.n_windows for s in bwd_blocks.values()),
-                max(s.n_dblocks // DENSE_GROUP for s in bwd_blocks.values()),
-                max(s.n_qchunks // QUAD_GROUP for s in bwd_blocks.values()),
-            ],
-            np.int64,
-        )
-    else:
-        mc_f = max((s.max_chunks for s in fwd_blocks.values()), default=1)
-        mc_b = max((s.max_chunks for s in bwd_blocks.values()), default=1)
-        pads_local = np.asarray([mc_f, mc_b], np.int64)
+    pads_local = np.asarray(
+        [
+            max(s.n_windows for s in fwd_blocks.values()),
+            max(s.n_dblocks // DENSE_GROUP for s in fwd_blocks.values()),
+            max(s.n_qchunks // QUAD_GROUP for s in fwd_blocks.values()),
+            max(s.n_windows for s in bwd_blocks.values()),
+            max(s.n_dblocks // DENSE_GROUP for s in bwd_blocks.values()),
+            max(s.n_qchunks // QUAD_GROUP for s in bwd_blocks.values()),
+        ],
+        np.int64,
+    )
     ov = vals[covered] if multiproc else vals
     stats_local = np.asarray(
         [ov.sum(dtype=np.float64), (ov.astype(np.float64) ** 2).sum(),
@@ -613,108 +534,22 @@ def shard_tiled(
         stats_local[2] = 0.0
     stats = jnp.asarray(stats_local, jnp.float32)
 
-    if compact:
-        fwd, bwd, b2f = _assemble_compact(
-            mesh, R, C, fwd_blocks, bwd_blocks,
-            tuple(int(v) for v in pads_local), local_p, local_n,
+    fwd, bwd, b2f = _assemble_compact(
+        mesh, R, C, fwd_blocks, bwd_blocks,
+        tuple(int(v) for v in pads_local), local_p, local_n,
+    )
+    if order == "degree":
+        perms = dict(
+            row_perm=_asm_perm(mesh, ROWS, row_perm_blk),
+            row_rank=_asm_perm(mesh, ROWS, row_rank_blk),
+            col_perm=_asm_perm(mesh, COLS, col_perm_blk),
+            col_rank=_asm_perm(mesh, COLS, col_rank_blk),
         )
-        if order == "degree":
-            perms = dict(
-                row_perm=_asm_perm(mesh, ROWS, row_perm_blk),
-                row_rank=_asm_perm(mesh, ROWS, row_rank_blk),
-                col_perm=_asm_perm(mesh, COLS, col_perm_blk),
-                col_rank=_asm_perm(mesh, COLS, col_rank_blk),
-            )
-        else:
-            perms = {}
-        return ShardedTiled(
-            fwd, bwd, stats, b2f, (p, n), (R, C), False, mesh, **perms
-        )
-
-    mc_f, mc_b = int(pads_local[0]), int(pads_local[1])
-    nsf, ncf, tpsf, stf, ntf = _side_meta(local_p, local_n, stripe_tiles, mc_f)
-    nsb, ncb, tpsb, stb, ntb = _side_meta(local_n, local_p, stripe_tiles, mc_b)
-
-    padded_f = {k: _pad_side(s, mc_f) for k, s in fwd_blocks.items()}
-    padded_b = {k: _pad_side(s, mc_b) for k, s in bwd_blocks.items()}
-    # per-device bwd-slot -> fwd-slot map (same nnz subset, same masked order
-    # on both orientations)
-    b2f_blocks = {}
-    for k in padded_f:
-        pf, pb = padded_f[k][3], padded_b[k][3]
-        m = np.full(ntb * TILE, ntf * TILE, np.int32)
-        m[pb] = pf
-        b2f_blocks[k] = m
-
-    def side_arrays(padded, which):
-        return {k: v[which] for k, v in padded.items()}
-
-    fwd = _ShardedSide(
-        _assemble(mesh, P(ROWS, COLS, None, None), (R, C, ntf, TILE),
-                  side_arrays(padded_f, 0), _fwd_key),
-        _assemble(mesh, P(ROWS, COLS, None, None), (R, C, ntf, TILE),
-                  side_arrays(padded_f, 1), _fwd_key),
-        _assemble(mesh, P(ROWS, COLS, None, None), (R, C, ntf, TILE),
-                  side_arrays(padded_f, 2), _fwd_key),
-        nsf, ncf, tpsf, stf, mc_f, local_p, local_n,
+    else:
+        perms = {}
+    return ShardedTiled(
+        fwd, bwd, stats, b2f, (p, n), (R, C), False, mesh, **perms
     )
-    bwd = _ShardedSide(
-        _assemble(mesh, P(COLS, ROWS, None, None), (C, R, ntb, TILE),
-                  side_arrays(padded_b, 0), _bwd_key),
-        _assemble(mesh, P(COLS, ROWS, None, None), (C, R, ntb, TILE),
-                  side_arrays(padded_b, 1), _bwd_key),
-        _assemble(mesh, P(COLS, ROWS, None, None), (C, R, ntb, TILE),
-                  side_arrays(padded_b, 2), _bwd_key),
-        nsb, ncb, tpsb, stb, mc_b, local_n, local_p,
-    )
-    b2f = _assemble(
-        mesh, P(COLS, ROWS, None), (C, R, ntb * TILE), b2f_blocks, _bwd_key,
-    )
-    return ShardedTiled(fwd, bwd, stats, b2f, (p, n), (R, C), False, mesh)
-
-
-def _local_matmul(side_meta, lrows, lcols, vals, Dt_local, precision):
-    if jax.default_backend() == "cpu":
-        # The TPU-interpret Pallas kernel serializes per-device execution,
-        # which deadlocks the CPU backend's collective rendezvous when this
-        # runs inside shard_map + while_loop.  Use an equivalent jnp
-        # formulation on CPU; the real kernel runs on TPU.
-        return _local_matmul_jnp(side_meta, lrows, lcols, vals, Dt_local)
-    from .pallas.sparse import _tiled_matmul_impl
-
-    meta = (
-        side_meta.n_stripes,
-        side_meta.n_colpanels,
-        side_meta.tiles_per_step,
-        side_meta.max_chunks,
-        side_meta.panels_per_stripe * TILE,
-        side_meta.n_stripes * side_meta.panels_per_stripe * TILE,
-    )
-    return _tiled_matmul_impl(lrows, lcols, vals, Dt_local, meta, False, precision)
-
-
-def _local_matmul_jnp(side_meta, lrows, lcols, vals, Dt_local):
-    """jnp (gather + scatter-add) equivalent of the Pallas tiled kernel on
-    the local chunk arrays; same (K, rows_pad) output."""
-    ncp = side_meta.n_colpanels
-    tps = side_meta.tiles_per_step
-    mc = side_meta.max_chunks
-    pps = side_meta.panels_per_stripe
-    rows_pad = side_meta.n_stripes * pps * TILE
-    ntiles = lrows.shape[0]
-    t = jnp.arange(ntiles)
-    stripe = t // (ncp * tps)
-    rem = t % (ncp * tps)
-    cp = rem // tps
-    rp = (rem % tps) // mc
-    grow = ((stripe * pps + rp) * TILE)[:, None] + lrows  # (ntiles, TILE)
-    gcol = (cp * TILE)[:, None] + lcols
-    flat_rows = grow.reshape(-1)
-    flat_cols = gcol.reshape(-1)
-    flat_vals = vals.reshape(-1)
-    contrib = Dt_local[:, flat_cols] * flat_vals[None, :]  # (K, nnz_slots)
-    out = jnp.zeros((Dt_local.shape[0], rows_pad), contrib.dtype)
-    return out.at[:, flat_rows].add(contrib)
 
 
 def _compact_operand_names(side: _ShardedSideC):
@@ -817,7 +652,9 @@ def _flat_vals_compact(side: _ShardedSideC, a: dict):
 
 def _local_matmul_jnp_compact(side: _ShardedSideC, a: dict, Dt_local):
     """jnp (gather + scatter-add) equivalent of the compact kernels on the
-    local arrays (the CPU path; see _local_matmul for why)."""
+    local arrays — the CPU path: the TPU-interpret Pallas kernel serializes
+    per-device execution, which deadlocks the CPU backend's collective
+    rendezvous inside shard_map + while_loop."""
     rows_pad = side.n_stripes * side.panels_per_stripe * TILE
     r, c = _slot_coords_compact(side, a)
     v = _flat_vals_compact(side, a)
@@ -840,11 +677,7 @@ def _sharded_matmul(X: ShardedTiled, D, mesh, precision="exact", transposed=Fals
     n_groups = C if not transposed else R
     Dp = jnp.pad(D, ((0, local_in * n_groups - D.shape[0]), (0, K - k)))
     lead = (COLS, ROWS) if transposed else (ROWS, COLS)
-    compact = isinstance(side, _ShardedSideC)
-    names = (
-        _compact_operand_names(side) if compact
-        else ["lrows", "lcols", "vals"]
-    )
+    names = _compact_operand_names(side)
     ops = [getattr(side, nm) for nm in names]
     # degree renumbering: the kernel speaks the renumbered local space — the
     # D operand is gathered through the input-space perm on the way in, the
@@ -858,12 +691,7 @@ def _sharded_matmul(X: ShardedTiled, D, mesh, precision="exact", transposed=Fals
         Dloc = args[len(names)]  # (local_in, K)
         if renum:
             Dloc = jnp.take(Dloc, args[len(names) + 1][0], axis=0)
-        if compact:
-            out_local = _local_matmul_compact(side, a, Dloc.T, precision)
-        else:
-            out_local = _local_matmul(
-                side, a["lrows"], a["lcols"], a["vals"], Dloc.T, precision
-            )  # (K, local_rows_pad)
+        out_local = _local_matmul_compact(side, a, Dloc.T, precision)
         out_local = jax.lax.psum(out_local, axis_red)
         if renum:
             out_local = jnp.take(out_local, args[len(names) + 2][0], axis=1)
@@ -926,20 +754,6 @@ def sharded_mtm(X: ShardedTiled, D, mesh=None, *, precision: str = "exact"):
 # ---------------------------------------------------------------------------
 
 
-def _panel_offsets(side: _ShardedSide, nt: int):
-    """Static per-tile (row, col) padded-local offsets for the grid layout:
-    slot (t, s) sits at local row ``row_off[t] + lrows[t, s]`` and local col
-    ``col_off[t] + lcols[t, s]``."""
-    t = np.arange(nt)
-    stripe = t // (side.n_colpanels * side.tiles_per_step)
-    rem = t % (side.n_colpanels * side.tiles_per_step)
-    cp = rem // side.tiles_per_step
-    rp = (rem % side.tiles_per_step) // side.max_chunks
-    row_off = ((stripe * side.panels_per_stripe + rp) * TILE).astype(np.int32)
-    col_off = (cp * TILE).astype(np.int32)
-    return jnp.asarray(row_off[:, None]), jnp.asarray(col_off[:, None])
-
-
 def _local_sddmm_kernels(side: _ShardedSideC, a: dict, Wl, Htl):
     """Per-device SDDMM through the single-chip Pallas kernels (chunk
     windows + dense-sample einsum + quad-tail), returning the flat value
@@ -998,98 +812,71 @@ def _sharded_sddmm_impl(X: ShardedTiled, W, H, mesh):
     Wp = jnp.pad(W, ((0, local_p * R - W.shape[0]), (0, 0)))
     Htp = jnp.pad(H.T, ((0, local_n * C - H.shape[1]), (0, 0)))
 
-    if isinstance(side, _ShardedSideC):
-        names = _compact_operand_names(side)
-        meta_ops = [getattr(side, nm) for nm in names]
-        S = side.n_slots
-        nchunk_slots = side.n_windows * side.group * TILE
-        nd = side.n_dblocks * TILE * TILE
-        renum = X.row_perm is not None
-        extra = [X.row_perm, X.col_perm] if renum else []
+    names = _compact_operand_names(side)
+    meta_ops = [getattr(side, nm) for nm in names]
+    S = side.n_slots
+    nchunk_slots = side.n_windows * side.group * TILE
+    nd = side.n_dblocks * TILE * TILE
+    renum = X.row_perm is not None
+    extra = [X.row_perm, X.col_perm] if renum else []
 
-        def local_fn(Wl, Htl, *args):
-            a = {nm: arr[0, 0] for nm, arr in zip(names, args[: len(names)])}
-            if renum:
-                # put the factors in the blocks' renumbered order once, so
-                # the slot coords index them directly
-                Wl = jnp.take(Wl, args[len(names)][0], axis=0)
-                Htl = jnp.take(Htl, args[len(names) + 1][0], axis=0)
-            if jax.default_backend() != "cpu":
-                # on the chip, run the same Pallas SDDMM kernels the
-                # single-chip path uses (the jnp gather form below is the
-                # CPU fallback — see _local_matmul for why)
-                return _local_sddmm_kernels(side, a, Wl, Htl).reshape(1, 1, S)
-            grow, gcol = _slot_coords_compact(side, a)
-            # clip: phantom row panels in the last stripe gather garbage
-            # rows, but those are all-padding slots (value 0) masked by
-            # every consumer.  Dense-block elements go through a per-block
-            # einsum instead of the k-wide flat gather: a block stores
-            # TILE*TILE samples for >=dense_thresh nonzeros, so the flat
-            # gather would blow memory at scale.
-            if nd:
-                rcq = jnp.concatenate([grow[:nchunk_slots], grow[nchunk_slots + nd:]])
-                ccq = jnp.concatenate([gcol[:nchunk_slots], gcol[nchunk_slots + nd:]])
-            else:
-                rcq, ccq = grow, gcol
-            wr = jnp.take(Wl, rcq, axis=0, mode="clip")
-            hc = jnp.take(Htl, ccq, axis=0, mode="clip")
-            wh_cq = jnp.sum(wr * hc, axis=1)
-            if nd:
-                # block row/col bases from the stored window metadata
-                b = jnp.arange(side.n_dblocks)
-                wd = b // DENSE_GROUP
-                wordd = a["dblk_rp"].reshape(-1)[b // 4]
-                rpd = (wordd >> (8 * (b % 4))) & 0xFF
-                rbase = (a["dblk_stripe"][wd] * side.panels_per_stripe + rpd) * TILE
-                cbase = a["dblk_panel"][wd] * TILE
-                i = jnp.arange(TILE)
-                Wb = jnp.take(Wl, rbase[:, None] + i[None, :], axis=0,
-                              mode="clip")  # (ndblk, TILE, k)
-                Hb = jnp.take(Htl, cbase[:, None] + i[None, :], axis=0,
-                              mode="clip")
-                wh_d = jnp.einsum("bik,bjk->bji", Wb, Hb).reshape(-1)
-                wh = jnp.concatenate(
-                    [wh_cq[:nchunk_slots], wh_d, wh_cq[nchunk_slots:]]
-                )
-            else:
-                wh = wh_cq
-            return wh.reshape(1, 1, S)
-
-        return shard_map(
-            local_fn,
-            mesh=mesh,
-            in_specs=(P(ROWS, None), P(COLS, None)) + tuple(
-                P(ROWS, COLS, *([None] * (o.ndim - 2))) for o in meta_ops
-            ) + ((P(ROWS, None), P(COLS, None)) if renum else ()),
-            out_specs=P(ROWS, COLS, None),
-            check_vma=False,
-        )(Wp, Htp, *meta_ops, *extra)
-
-    nt = side.lrows.shape[2]
-    row_off, col_off = _panel_offsets(side, nt)
-
-    def local_fn(lrows, lcols, Wl, Htl):
-        grow = (row_off + lrows[0, 0]).reshape(-1)
-        gcol = (col_off + lcols[0, 0]).reshape(-1)
-        # clip: phantom row panels in the last stripe gather garbage rows,
-        # but those are all-padding slots (value 0) masked by every consumer
-        wr = jnp.take(Wl, grow, axis=0, mode="clip")
-        hc = jnp.take(Htl, gcol, axis=0, mode="clip")
-        wh = jnp.sum(wr * hc, axis=1)
-        return wh.reshape(1, 1, nt, TILE)
+    def local_fn(Wl, Htl, *args):
+        a = {nm: arr[0, 0] for nm, arr in zip(names, args[: len(names)])}
+        if renum:
+            # put the factors in the blocks' renumbered order once, so
+            # the slot coords index them directly
+            Wl = jnp.take(Wl, args[len(names)][0], axis=0)
+            Htl = jnp.take(Htl, args[len(names) + 1][0], axis=0)
+        if jax.default_backend() != "cpu":
+            # on the chip, run the same Pallas SDDMM kernels the
+            # single-chip path uses (the jnp gather form below is the
+            # CPU fallback — see _local_matmul_jnp_compact for why)
+            return _local_sddmm_kernels(side, a, Wl, Htl).reshape(1, 1, S)
+        grow, gcol = _slot_coords_compact(side, a)
+        # clip: phantom row panels in the last stripe gather garbage
+        # rows, but those are all-padding slots (value 0) masked by
+        # every consumer.  Dense-block elements go through a per-block
+        # einsum instead of the k-wide flat gather: a block stores
+        # TILE*TILE samples for >=dense_thresh nonzeros, so the flat
+        # gather would blow memory at scale.
+        if nd:
+            rcq = jnp.concatenate([grow[:nchunk_slots], grow[nchunk_slots + nd:]])
+            ccq = jnp.concatenate([gcol[:nchunk_slots], gcol[nchunk_slots + nd:]])
+        else:
+            rcq, ccq = grow, gcol
+        wr = jnp.take(Wl, rcq, axis=0, mode="clip")
+        hc = jnp.take(Htl, ccq, axis=0, mode="clip")
+        wh_cq = jnp.sum(wr * hc, axis=1)
+        if nd:
+            # block row/col bases from the stored window metadata
+            b = jnp.arange(side.n_dblocks)
+            wd = b // DENSE_GROUP
+            wordd = a["dblk_rp"].reshape(-1)[b // 4]
+            rpd = (wordd >> (8 * (b % 4))) & 0xFF
+            rbase = (a["dblk_stripe"][wd] * side.panels_per_stripe + rpd) * TILE
+            cbase = a["dblk_panel"][wd] * TILE
+            i = jnp.arange(TILE)
+            Wb = jnp.take(Wl, rbase[:, None] + i[None, :], axis=0,
+                          mode="clip")  # (ndblk, TILE, k)
+            Hb = jnp.take(Htl, cbase[:, None] + i[None, :], axis=0,
+                          mode="clip")
+            wh_d = jnp.einsum("bik,bjk->bji", Wb, Hb).reshape(-1)
+            wh = jnp.concatenate(
+                [wh_cq[:nchunk_slots], wh_d, wh_cq[nchunk_slots:]]
+            )
+        else:
+            wh = wh_cq
+        return wh.reshape(1, 1, S)
 
     return shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(
-            P(ROWS, COLS, None, None),
-            P(ROWS, COLS, None, None),
-            P(ROWS, None),
-            P(COLS, None),
-        ),
-        out_specs=P(ROWS, COLS, None, None),
+        in_specs=(P(ROWS, None), P(COLS, None)) + tuple(
+            P(ROWS, COLS, *([None] * (o.ndim - 2))) for o in meta_ops
+        ) + ((P(ROWS, None), P(COLS, None)) if renum else ()),
+        out_specs=P(ROWS, COLS, None),
         check_vma=False,
-    )(side.lrows, side.lcols, Wp, Htp)
+    )(Wp, Htp, *meta_ops, *extra)
 
 
 def sharded_sddmm(X: ShardedTiled, W, H, mesh=None):
@@ -1106,18 +893,15 @@ def sharded_sddmm(X: ShardedTiled, W, H, mesh=None):
 def _propagate_bwd(X: ShardedTiled, new_fwd_vals, mesh):
     from jax import shard_map
 
-    compact = isinstance(X.bwd, _ShardedSideC)
-    Sb = X.bwd.n_slots if compact else X.bwd.lrows.shape[2] * TILE
+    Sb = X.bwd.n_slots
 
     def local_fn(fv, b2f):
         flat = fv.reshape(-1)
         out = jnp.take(flat, b2f[0, 0], axis=0, mode="fill", fill_value=0)
-        if compact:
-            return out.reshape(1, 1, Sb)
-        return out.reshape(1, 1, Sb // TILE, TILE)
+        return out.reshape(1, 1, Sb)
 
     fv_spec = P(ROWS, COLS, *([None] * (new_fwd_vals.ndim - 2)))
-    out_spec = P(COLS, ROWS, None) if compact else P(COLS, ROWS, None, None)
+    out_spec = P(COLS, ROWS, None)
     return shard_map(
         local_fn,
         mesh=mesh,
@@ -1159,28 +943,21 @@ def sharded_scale_values(X: ShardedTiled, new_values, mesh=None) -> ShardedTiled
     bwd_vals = _propagate_bwd(X, new_values, mesh)
     v32 = new_values.astype(jnp.float32)
     stats = jnp.stack([jnp.sum(v32), jnp.sum(v32 * v32), jnp.min(v32)])
-    if isinstance(X.fwd, _ShardedSideC):
-        fwd = _split_side_vals_compact(X.fwd, new_values)
-        bwd = _split_side_vals_compact(X.bwd, bwd_vals)
-    else:
-        fwd = dataclasses.replace(X.fwd, vals=new_values)
-        bwd = dataclasses.replace(X.bwd, vals=bwd_vals)
+    fwd = _split_side_vals_compact(X.fwd, new_values)
+    bwd = _split_side_vals_compact(X.bwd, bwd_vals)
     return dataclasses.replace(X, fwd=fwd, bwd=bwd, stats=stats)
 
 
 def sharded_nnz_values(X: ShardedTiled):
-    """Values in the fwd layout — (R, C, ntiles, TILE) chunk slots for the
-    grid layout, flat (R, C, n_slots) (chunk slots, dense elements, quad
-    slots) for compact; padding slots are exactly 0."""
+    """Values in the flat (R, C, n_slots) fwd layout (chunk slots, dense
+    elements, quad slots); padding slots are exactly 0."""
     side = X.fwd
-    if isinstance(side, _ShardedSideC):
-        parts = [side.vals.reshape(*side.vals.shape[:2], -1)]
-        if side.n_dblocks:
-            parts.append(side.dvals.reshape(*side.dvals.shape[:2], -1))
-        if side.n_qchunks:
-            parts.append(side.qvals.reshape(*side.qvals.shape[:2], -1))
-        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=2)
-    return side.vals
+    parts = [side.vals.reshape(*side.vals.shape[:2], -1)]
+    if side.n_dblocks:
+        parts.append(side.dvals.reshape(*side.dvals.shape[:2], -1))
+    if side.n_qchunks:
+        parts.append(side.qvals.reshape(*side.qvals.shape[:2], -1))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=2)
 
 
 @partial(jax.jit, static_argnames=("mesh", "which"))
@@ -1188,58 +965,36 @@ def _sharded_ids_impl(X: ShardedTiled, mesh, which: str):
     from jax import shard_map
 
     side = X.fwd
-    if isinstance(side, _ShardedSideC):
-        names = _compact_operand_names(side)
-        meta_ops = [getattr(side, nm) for nm in names]
-        S = side.n_slots
-        perm = (X.col_perm if which == "col" else X.row_perm)
-        extra = [perm] if perm is not None else []
-        perm_spec = P(COLS, None) if which == "col" else P(ROWS, None)
+    names = _compact_operand_names(side)
+    meta_ops = [getattr(side, nm) for nm in names]
+    S = side.n_slots
+    perm = (X.col_perm if which == "col" else X.row_perm)
+    extra = [perm] if perm is not None else []
+    perm_spec = P(COLS, None) if which == "col" else P(ROWS, None)
 
-        def local_fn(*args):
-            a = {nm: arr[0, 0] for nm, arr in zip(names, args[: len(names)])}
-            grow, gcol = _slot_coords_compact(side, a)
-            lid = gcol if which == "col" else grow
-            if perm is not None:
-                # renumbered local id -> original local id (padding slots
-                # may sit on phantom panels: clip, their value is 0)
-                lid = jnp.take(args[len(names)][0], lid, mode="clip")
-            if which == "col":
-                g = lid + jax.lax.axis_index(COLS) * side.local_cols
-            else:
-                g = lid + jax.lax.axis_index(ROWS) * side.local_rows
-            return g.astype(jnp.int32).reshape(1, 1, S)
-
-        return shard_map(
-            local_fn,
-            mesh=mesh,
-            in_specs=tuple(
-                P(ROWS, COLS, *([None] * (o.ndim - 2))) for o in meta_ops
-            ) + ((perm_spec,) if perm is not None else ()),
-            out_specs=P(ROWS, COLS, None),
-            check_vma=False,
-        )(*meta_ops, *extra)
-
-    nt = side.lrows.shape[2]
-    row_off, col_off = _panel_offsets(side, nt)
-
-    def local_fn(lrows, lcols):
+    def local_fn(*args):
+        a = {nm: arr[0, 0] for nm, arr in zip(names, args[: len(names)])}
+        grow, gcol = _slot_coords_compact(side, a)
+        lid = gcol if which == "col" else grow
+        if perm is not None:
+            # renumbered local id -> original local id (padding slots
+            # may sit on phantom panels: clip, their value is 0)
+            lid = jnp.take(args[len(names)][0], lid, mode="clip")
         if which == "col":
-            j = jax.lax.axis_index(COLS)
-            g = col_off + lcols[0, 0] + j * side.local_cols
+            g = lid + jax.lax.axis_index(COLS) * side.local_cols
         else:
-            i = jax.lax.axis_index(ROWS)
-            g = row_off + lrows[0, 0] + i * side.local_rows
-        return g.astype(jnp.int32)[None, None]
+            g = lid + jax.lax.axis_index(ROWS) * side.local_rows
+        return g.astype(jnp.int32).reshape(1, 1, S)
 
     return shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(ROWS, COLS, None, None), P(ROWS, COLS, None, None)),
-        out_specs=P(ROWS, COLS, None, None),
+        in_specs=tuple(
+            P(ROWS, COLS, *([None] * (o.ndim - 2))) for o in meta_ops
+        ) + ((perm_spec,) if perm is not None else ()),
+        out_specs=P(ROWS, COLS, None),
         check_vma=False,
-    )(side.lrows, side.lcols)
-
+    )(*meta_ops, *extra)
 
 def sharded_col_ids(X: ShardedTiled, mesh=None):
     """Global column index per fwd chunk slot (row index when X is logically

@@ -27,12 +27,11 @@ def make(seed=0, p=600, n=500, density=0.05):
 @pytest.mark.parametrize(
     "opts",
     [
-        dict(layout="grid"),
-        dict(layout="compact", order="natural"),
-        dict(layout="compact"),  # order="degree" default
-        dict(layout="compact", dense_tile_nnz=100, quad_tail_nnz=16),
+        dict(order="natural"),
+        dict(),  # order="degree" default
+        dict(dense_tile_nnz=100, quad_tail_nnz=16),
     ],
-    ids=["grid", "compact-natural", "compact-degree", "compact-hybrid"],
+    ids=["compact-natural", "compact-degree", "compact-hybrid"],
 )
 def test_sharded_products_match_dense(opts):
     Xd, r, c, rng = make()

@@ -18,12 +18,11 @@ def make(seed=0, p=300, n=260, k=8, density=0.05, layout="compact", group=8):
     return Xd, X, rng
 
 
-@pytest.mark.parametrize("layout", ["grid", "compact"])
 @pytest.mark.parametrize("precision", ["highest", "high", "fast"])
-def test_layouts_precisions_match_dense(layout, precision):
+def test_layouts_precisions_match_dense(precision):
     from nmf_tpu.ops.pallas.sparse import tiled_mm, tiled_mtm
 
-    Xd, X, rng = make(layout=layout, group=8)
+    Xd, X, rng = make(group=8)
     D = jnp.asarray(rng.random((Xd.shape[1], 8)).astype(np.float32))
     tol = dict(highest=1e-5, high=2e-4, fast=5e-3)[precision]
     got = np.asarray(tiled_mm(X, D, precision=precision))
@@ -132,22 +131,33 @@ def test_pallas_sddmm_kernel_matches_dense():
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
 
 
-def test_with_values_gather_matches_scatter():
-    """The inv-map gather refresh == the legacy scatter refresh."""
+def test_with_values_gather_matches_rebuild():
+    """The inv-map gather refresh == rebuilding the tiling from the new
+    values; instances without the per-region refresh maps (pre-round-3
+    pickles) raise instead of mis-refreshing (ADVICE r3)."""
     import dataclasses
 
     Xd, X, rng = make()
     v = matops.nnz_values(X)
     new = v * 2.5 + 0.1
+    a = X.with_values(new)
+    rebuilt = build_tiled(
+        np.asarray(X.row_idx), np.asarray(X.col_idx), np.asarray(new),
+        X.shape, stripe_tiles=2, group=8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.fwd.vals), np.asarray(rebuilt.fwd.vals), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.bwd.vals), np.asarray(rebuilt.bwd.vals), rtol=1e-6
+    )
     legacy = dataclasses.replace(
         X,
         fwd=dataclasses.replace(X.fwd, inv=None),
         bwd=dataclasses.replace(X.bwd, inv=None),
     )
-    a = X.with_values(new)
-    b = legacy.with_values(new)
-    np.testing.assert_array_equal(np.asarray(a.fwd.vals), np.asarray(b.fwd.vals))
-    np.testing.assert_array_equal(np.asarray(a.bwd.vals), np.asarray(b.bwd.vals))
+    with pytest.raises(ValueError, match="legacy"):
+        legacy.with_values(new)
 
 
 def test_hybrid_dense_tiles_match_dense():
@@ -394,3 +404,26 @@ def test_quad_tail_solver_matches_bcoo():
         assert b.niters == a.niters
         np.testing.assert_allclose(np.asarray(b.W), np.asarray(a.W), rtol=2e-4, atol=1e-4)
         assert np.isclose(b.objvalue, a.objvalue, rtol=1e-4)
+
+
+def test_slim_matches_full_solve():
+    """slim() (the capacity-scale device view) must not change solver
+    results: the mm/mtm kernels and the Gram-identity objective read none
+    of the dropped maps, and stats serve sq_norm/total_sum/all_nonneg."""
+    Xd, X, rng = make()
+    S = X.slim()
+    np.testing.assert_allclose(float(matops.sq_norm(S)), (Xd**2).sum(), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(matops.total_sum(S)), Xd.sum(), rtol=1e-5
+    )
+    assert bool(matops.all_nonneg(S))
+    assert S.dtype == X.dtype
+    W0 = jnp.asarray(rng.random((Xd.shape[0], 8)).astype(np.float32))
+    H0 = jnp.asarray(rng.random((8, Xd.shape[1])).astype(np.float32))
+    from nmf_tpu.models.coorddesc import CoordinateDescent
+
+    alg = CoordinateDescent(maxiter=5, tol=1e-30)
+    a = nmf_tpu.solve(alg, X, W0, H0)
+    b = nmf_tpu.solve(alg, S, W0, H0)
+    np.testing.assert_allclose(np.asarray(b.W), np.asarray(a.W), rtol=1e-5, atol=1e-6)
+    assert np.isclose(b.objvalue, a.objvalue, rtol=1e-5)
