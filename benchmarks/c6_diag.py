@@ -1,0 +1,43 @@
+"""Config6 compile diagnostic: build the 2Mx200k slab once, then attempt
+ONE jitted HALS chunk and print the FULL compile/runtime error."""
+import sys, os, time, traceback
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import numpy as np
+from run import _movielens_like
+
+def main():
+    import jax.numpy as jnp
+    from nmf_tpu.models.common import _renumber_ok, _solve_while, renumbered_problem
+    from nmf_tpu.models.coorddesc import CoordinateDescent
+    from nmf_tpu.ops.sparse_format import build_tiled
+
+    dense = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    group = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    rng = np.random.default_rng(0)
+    p, n, k = 2_000_000, 200_000, 256
+    rows, cols, vals = _movielens_like(rng, p=p, n=n, nnz=90_000_000)
+    t0 = time.perf_counter()
+    X = build_tiled(rows, cols, vals, (p, n), dense_tile_nnz=dense,
+                    group=group, tail_span=16).slim()
+    print("build", round(time.perf_counter() - t0, 1), "s", flush=True)
+    W = jnp.asarray(rng.random((p, k), dtype=np.float32))
+    H = jnp.asarray(rng.random((k, n), dtype=np.float32))
+    cd, _ = CoordinateDescent(maxiter=100)._resolved(np.float32)
+    if _renumber_ok(cd, X):
+        X, W, H, _ = renumbered_problem(X, W, H)
+        print("renumbered", flush=True)
+    tol = jnp.asarray(1e-30, jnp.float32)
+    try:
+        out = _solve_while(cd, X, W, H, jnp.asarray(2, jnp.int32), tol)
+        print("objv:", float(out[4]), flush=True)
+        t0 = time.perf_counter()
+        out = _solve_while(cd, X, W, H, jnp.asarray(5, jnp.int32), tol)
+        float(out[4])
+        dt = time.perf_counter() - t0
+        print(f"5 iters in {dt:.1f}s -> {5/dt:.3f} it/s (incl dispatch)", flush=True)
+    except Exception:
+        traceback.print_exc()
+
+if __name__ == "__main__":
+    main()

@@ -84,7 +84,7 @@ def probe_tpu(timeout=150):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="BENCH_full_r03.json")
-    ap.add_argument("--only", default="configs,ttt,sparse,cold,c5d")
+    ap.add_argument("--only", default="configs,ttt,spa,sparse,cold,c5d,ingest")
     ap.add_argument("--skip-config6", action="store_true",
                     help="skip the 90M-nnz north-star slice (long host build)")
     ap.add_argument("--no-probe", action="store_true",
@@ -115,6 +115,10 @@ def main():
         emit("ttt", run_lines(
             [py, f"{HERE}/run.py", "ttt1", "ttt2", "ttt3", "ttt4"], 3600
         ))
+    if "spa" in only:
+        emit("spa", run_lines([py, f"{HERE}/run.py", "spa4"], 3600))
+    if "ingest" in only:
+        emit("ingest", run_lines([py, f"{HERE}/ingest_profile.py"], 3600))
     if "sparse" in only:
         emit("sparse_uniform", run_lines(
             [py, f"{HERE}/sparse_kernel.py", "--dist", "uniform",

@@ -80,7 +80,7 @@ def main():
         dt = time.perf_counter() - t0
         store_mb = sum(
             int(np.asarray(getattr(side, f)).nbytes) // 2**20
-            for f in ("lrows", "lcols", "vals")
+            for f in ("coords", "vals")
         ) + (int(np.asarray(side.dvals).nbytes) // 2**20 if side.n_dblocks else 0)
         print(json.dumps({"phase": label, "sec": round(dt, 1),
                           "chunks": int(side.vals.shape[0]),

@@ -50,8 +50,17 @@ def _solver_rate(upd, X, W, H, n_small, n_big, dtype=np.float32):
     import jax
     import jax.numpy as jnp
 
-    from nmf_tpu.models.common import _solve_while
+    from nmf_tpu.models.common import (
+        _renumber_ok,
+        _solve_while,
+        renumbered_problem,
+    )
 
+    if _renumber_ok(upd, X):
+        # the library's solve() path does this too: run degree-ordered
+        # sparse problems in renumbered coordinates (no per-product factor
+        # gathers); rates don't need the factors back
+        X, W, H, _ = renumbered_problem(X, W, H)
     tol = jnp.asarray(1e-30, X.dtype if hasattr(X, "dtype") else dtype)
 
     def run(iters):
@@ -75,10 +84,17 @@ def _time_to_tol(upd, X, W, H, target, chunk=25, max_iters=5000, trajectory=Fals
     import jax.numpy as jnp
 
     from nmf_tpu import config as _config
-    from nmf_tpu.models.common import _prepare, _solve_while_from
+    from nmf_tpu.models.common import (
+        _prepare,
+        _renumber_ok,
+        _solve_while_from,
+        renumbered_problem,
+    )
     from nmf_tpu.ops import matops
     from nmf_tpu.ops.objectives import mse_objective
 
+    if _renumber_ok(upd, X):
+        X, W, H, _ = renumbered_problem(X, W, H)
     xsq = float(matops.sq_norm(X))
     tol = jnp.asarray(1e-30, W.dtype)
     mse_j = jax.jit(mse_objective)
@@ -451,34 +467,84 @@ def config6():
     # on-chip, r3).  16-wide tiles collapse the panel axis 16x: metadata
     # fits and the pad collapses; the span-way gather cost only applies to
     # the small tail fraction.
-    # dense_tile_nnz=512 (not config4's 192): at this scale the dense store
-    # is the HBM budget — 72k blocks at thresh 192 = 4.5 GB/side vs 1.9 GB
-    # at 512 (tile histogram, docs/sparse_kernel_design.md r4).  Pushing the
-    # threshold further (2048) overflows the OTHER budget: the mid-density
-    # tiles land in the chunk store and its G-padded chunk count put the rp
-    # scalar metadata back over 1 MB SMEM (measured: 1.24M chunks = 1.09 MB).
-    # group=8 halves the per-(stripe, panel)-group chunk padding for the
-    # same reason.  .slim() drops the ~4 GB of CSR refresh maps the MSE
-    # solvers never read.
+    # dense_tile_nnz=1024 (not config4's 192): at this scale the dense
+    # store is an HBM budget item — 72k blocks at thresh 192 = 4.5 GB/side
+    # vs 0.9 GB at 1024 (tile histogram, docs/sparse_kernel_design.md r4);
+    # the mid-density tiles ride the chunk pipeline.  group=8 halves the
+    # per-(stripe, panel)-group chunk padding; with the 16-bit window words
+    # + 5-bit rp the scalar metadata is ~900 KB (sim table in the doc) —
+    # under the 1 MB SMEM budget.  .slim() drops the ~4 GB of CSR refresh
+    # maps the MSE solvers never read, and _solver_rate runs the solve in
+    # renumbered coordinates (no per-product factor gathers).
     X = build_tiled(
-        rows, cols, vals, (p, n), dense_tile_nnz=512, group=8, tail_span=16
+        rows, cols, vals, (p, n), dense_tile_nnz=1024, group=8, tail_span=16
     ).slim()
     build_sec = time.perf_counter() - t0
     W = jnp.asarray(rng.random((p, k), dtype=np.float32))
     H = jnp.asarray(rng.random((k, n), dtype=np.float32))
 
-    cd, _ = CoordinateDescent(maxiter=100)._resolved(np.float32)
-    rate_cd = _solver_rate(cd, X, W, H, 2, 6)
-    g, _ = GreedyCD(maxiter=100)._resolved(np.float32)
-    rate_g = _solver_rate(g, X, W, H, 2, 5)
-    return {
+    out = {
         "metric": "c6_northstar_slice_2Mx200k_k256",
-        "value": round(rate_cd, 3),
+        "value": 0.0,
         "unit": "hals_iterations/sec",
-        "greedycd_iters_per_sec": round(rate_g, 3),
         "nnz": nnz,
         "host_build_sec": round(build_sec, 1),
         "note": "per-chip slab of the 10M x 1M rank-256 north star",
+    }
+    try:
+        cd, _ = CoordinateDescent(maxiter=100)._resolved(np.float32)
+        out["value"] = round(_solver_rate(cd, X, W, H, 2, 6), 3)
+    except Exception as e:  # keep the other solver's number
+        out["hals_error"] = repr(e)[:4000]
+    try:
+        g, _ = GreedyCD(maxiter=100)._resolved(np.float32)
+        out["greedycd_iters_per_sec"] = round(_solver_rate(g, X, W, H, 2, 5), 3)
+    except Exception as e:
+        out["greedycd_error"] = repr(e)[:4000]
+    return out
+
+
+def spa4():
+    """SPA at config4 scale (163k x 59k power-law sparse, k=128): anchor
+    selection (basis-tracking, sparse) + the batched-FNNLS H estimate whose
+    column count (59k) is exactly the lockstep cliff the round-4 compaction
+    cascade targets (VERDICT r3 #2; reference src/spa.jl:64)."""
+    import jax.numpy as jnp
+
+    from nmf_tpu.models.spa import spa
+    from nmf_tpu.ops.sparse_format import build_tiled
+
+    rng = np.random.default_rng(0)
+    p, n, k = 163_000, 59_000, 128
+    rows, cols, vals = _movielens_like(rng)
+    X = build_tiled(rows, cols, vals, (p, n), dense_tile_nnz=192)
+    from nmf_tpu import config as _cfg
+
+    t_compile0 = time.perf_counter()
+    W, H = spa(X, k)
+    float(jnp.sum(H))
+    compile_and_first = time.perf_counter() - t_compile0
+    t0 = time.perf_counter()
+    W, H = spa(X, k)
+    float(jnp.sum(H))
+    sec = time.perf_counter() - t0
+    # solution quality proxy: relerr of the separable model fit
+    from nmf_tpu.ops.objectives import mse_objective
+
+    import jax
+
+    rel = float(
+        jnp.sqrt(2.0 * jax.jit(mse_objective)(X, W, H))
+        / jnp.sqrt(jnp.sum(jnp.asarray(vals) ** 2))
+    )
+    return {
+        "metric": "spa4_163kx59k_k128",
+        "value": round(sec, 3),
+        "unit": "sec_warm",
+        "first_call_sec": round(compile_and_first, 3),
+        "relerr": round(rel, 4),
+        "nnz": len(vals),
+        "fnnls_cascade": dict(_cfg.fnnls_cascade),
     }
 
 
@@ -704,6 +770,7 @@ CONFIGS = {
     "config4": config4,
     "config5": config5,
     "config6": config6,
+    "spa4": spa4,
     "ttt1": ttt1,
     "ttt2": ttt2,
     "ttt3": ttt3,

@@ -162,6 +162,10 @@ greedycd_cascade: dict[str, int] = {
     "shrink": _env_int("NMF_TPU_CASCADE_SHRINK", 4, 2),
     "min": _env_int("NMF_TPU_CASCADE_MIN", 1024, 1),
     "off_rows": _env_int("NMF_TPU_CASCADE_OFF_ROWS", 4096, 1),
+    # above this many rows the update runs as a lax.map over row slabs
+    # (memory: the full-width G/S/D scratch is 4 (rows x k) f32 arrays —
+    # 8 GB at 2M x 256); 512k rows ~= 2 GB of scratch at k=256
+    "slab_rows": _env_int("NMF_TPU_CASCADE_SLAB_ROWS", 524_288, 1),
 }
 
 #: FNNLS compaction-cascade knobs (ops/fnnls.py) — same machinery as the
@@ -176,14 +180,16 @@ fnnls_cascade: dict[str, int] = {
 
 
 def set_greedycd_cascade(shrink: int | None = None, min: int | None = None,
-                         off_rows: int | None = None):
+                         off_rows: int | None = None,
+                         slab_rows: int | None = None):
     """Override the GreedyCD cascade schedule (None = keep current).
 
     The knobs are trace-time constants, so changing them drops jax's jit
     caches (``jax.clear_caches()``) — otherwise an already-traced solve of
     the same shape would silently keep the old schedule."""
     changed = False
-    for key, val in (("shrink", shrink), ("min", min), ("off_rows", off_rows)):
+    for key, val in (("shrink", shrink), ("min", min), ("off_rows", off_rows),
+                     ("slab_rows", slab_rows)):
         if val is not None:
             if not isinstance(val, int) or val < (2 if key == "shrink" else 1):
                 raise ValueError(f"cascade {key} must be an int >= "

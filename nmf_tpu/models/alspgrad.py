@@ -443,4 +443,5 @@ def _objective(upd: ALSPGrad, state, X, W, H):
     return mse_objective(X, W, H)
 
 
-register_solver(ALSPGrad, prepare=_prepare, update=_update, objective=_objective)
+register_solver(ALSPGrad, prepare=_prepare, update=_update,
+                objective=_objective, renumber_safe=True)

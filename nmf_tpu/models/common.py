@@ -180,15 +180,22 @@ class SolverImpl(NamedTuple):
     prepare: Callable[..., Any]
     update: Callable[..., Any]
     objective: Callable[..., Any]
+    # True (or a predicate of the options) when the solver touches X only
+    # through mm/mtm and factor-wise reductions — i.e. its math is
+    # equivariant under a row/col renumbering of the problem, so a
+    # degree-ordered TiledCSR can run the whole solve in renumbered
+    # coordinates (no per-product factor gathers; see renumbered_problem)
+    renumber_safe: Any = False
 
 
 _IMPLS: dict[type, SolverImpl] = {}
 
 
-def register_solver(options_cls, *, prepare, update, objective):
+def register_solver(options_cls, *, prepare, update, objective,
+                    renumber_safe=False):
     """Register the (prepare, update, objective) implementation for an
     options dataclass.  The dataclass must already be a jax pytree."""
-    _IMPLS[options_cls] = SolverImpl(prepare, update, objective)
+    _IMPLS[options_cls] = SolverImpl(prepare, update, objective, renumber_safe)
     return options_cls
 
 
@@ -363,6 +370,43 @@ def _objective(upd, state, X, W, H):
     return _impl_for(upd).objective(upd, state, X, W, H)
 
 
+def _renumber_ok(upd, X) -> bool:
+    """True when the whole solve can run in a degree-ordered TiledCSR's
+    renumbered coordinate space (renumber_safe solver + perms present)."""
+    from ..ops import matops
+
+    if not (matops.is_tiled(X) and X.row_perm is not None):
+        return False
+    safe = _impl_for(upd).renumber_safe
+    return bool(safe(upd)) if callable(safe) else bool(safe)
+
+
+def renumbered_problem(X, W, H):
+    """(X', W', H') in X's renumbered coordinates: the factors are permuted
+    ONCE and the tiling's perms are stripped so every kernel call skips its
+    two O(len*k) factor gathers — at the 2M x 256 config6 slab those
+    gathers are 2 GB of HLO temps per sparse product.  Undo with
+    ``unrenumber``.  Valid only for renumber-safe solvers (the registry
+    flag): X consumed via mm/mtm and factor-wise reductions, whose math is
+    permutation-equivariant (per-row/column results are bit-identical;
+    cross-row reductions like Grams and objectives differ only by float
+    summation order)."""
+    import dataclasses
+
+    perms = (X.row_perm, X.row_rank, X.col_perm, X.col_rank)
+    Xr = dataclasses.replace(
+        X, row_perm=None, row_rank=None, col_perm=None, col_rank=None
+    )
+    # W'[sorted] = W[row_perm[sorted]]; H'[:, sorted] = H[:, col_perm[sorted]]
+    return Xr, jnp.take(W, perms[0], axis=0), jnp.take(H, perms[2], axis=1), perms
+
+
+def unrenumber(W, H, perms):
+    """Inverse of :func:`renumbered_problem` on the factors:
+    ``W[orig] = W'[row_rank[orig]]``."""
+    return jnp.take(W, perms[1], axis=0), jnp.take(H, perms[3], axis=1)
+
+
 def nmf_skeleton(upd, X, W, H, maxiter, verbose, tol, trace: bool = False) -> Result:
     """Run the shared iteration skeleton and wrap the outcome in a Result.
 
@@ -375,8 +419,17 @@ def nmf_skeleton(upd, X, W, H, maxiter, verbose, tol, trace: bool = False) -> Re
     tol = jnp.asarray(tol, W.dtype)
     from .. import config
 
+    renum = _renumber_ok(upd, X)
+    if renum:
+        X, W, H, perms = renumbered_problem(X, W, H)
     with config.precision_scope(config.solver_precision(upd)):
-        return _nmf_skeleton_inner(upd, X, W, H, maxiter, verbose, tol, trace)
+        res = _nmf_skeleton_inner(upd, X, W, H, maxiter, verbose, tol, trace)
+    if renum:
+        Wn, Hn = unrenumber(res.W, res.H, perms)
+        res = Result(
+            Wn, Hn, res.niters, res.converged, res.objvalue, trace=res.trace
+        )
+    return res
 
 
 def _nmf_skeleton_inner(upd, X, W, H, maxiter, verbose, tol, trace) -> Result:

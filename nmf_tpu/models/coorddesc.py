@@ -143,4 +143,5 @@ def _objective(upd: CoordinateDescent, state, X, W, H):
     return mse_objective(X, W, H)
 
 
-register_solver(CoordinateDescent, prepare=_prepare, update=_update, objective=_objective)
+register_solver(CoordinateDescent, prepare=_prepare, update=_update,
+                objective=_objective, renumber_safe=True)

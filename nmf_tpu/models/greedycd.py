@@ -108,25 +108,85 @@ def _scores(w_row, G_row, denom, Pdiag, dt):
 
 def _halfstep(X, W, Ht, lam):
     """Update ``W`` (rows x k) holding the other factor ``Ht`` (cols x k)
-    fixed — the reference's ``_update_GreedyCD!`` (src/greedycd.jl:94-166)."""
+    fixed — the reference's ``_update_GreedyCD!`` (src/greedycd.jl:94-166).
+
+    Above ``config.greedycd_cascade["slab_rows"]`` rows, the update runs as
+    a sequential ``lax.map`` over row slabs: the full-width G/S/D scratch
+    is 4 (rows x k) f32 arrays (8 GB at the 2M x 256 config6 slab — an HBM
+    OOM on a 16 GB chip), while rows are mutually independent given the
+    shared Grams, so slabbing only needs the global ``p_init`` agreed first
+    (a masked max over a scoring pass).  Per-row schedules — and therefore
+    results — are bit-identical to the full-width path (pinned in
+    tests/test_greedycd.py)."""
     dt = W.dtype
     rows, k = W.shape
     epsT = jnp.asarray(_eps(dt), dt)
 
     P = Ht.T @ Ht  # (k, k)
     Z = matops.mm(X, Ht)  # (rows, k)
-    G = W @ P - Z + jnp.asarray(lam, dt)
     Pdiag = jnp.diagonal(P)
     denom = epsT + Pdiag
-
-    S = jnp.maximum(jnp.zeros((), dt), W - G / denom) - W
-    D = -G * S - jnp.asarray(0.5, dt) * Pdiag * S * S
-    q0 = jnp.argmax(D, axis=1)  # first-max, matching Julia argmax
-    # p_init = max(-1, max_i D[i, q_i]) (src/greedycd.jl:132-137)
-    p_init = jnp.maximum(jnp.asarray(-1.0, dt), jnp.max(D))
+    lam_ = jnp.asarray(lam, dt)
     nu = jnp.asarray(0.001, dt)
-    threshold = nu * p_init
     max_inner = k * k
+
+    from .. import config
+
+    slab_max = config.greedycd_cascade["slab_rows"]
+    if rows <= slab_max:
+        G = W @ P - Z + lam_
+        S, D = _scores(W, G, denom, Pdiag, dt)
+        # p_init = max(-1, max_i D[i, q_i]) (src/greedycd.jl:132-137)
+        p_init = jnp.maximum(jnp.asarray(-1.0, dt), jnp.max(D))
+        delta = _greedy_rows(
+            W, G, S, D, jnp.zeros((rows,), jnp.int32), P, denom, Pdiag,
+            nu * p_init, max_inner, dt,
+        )
+        return projectnn(W + delta)
+
+    ns = -(-rows // slab_max)
+    slab = -(-rows // ns)
+    pad = ns * slab - rows
+    Wp = jnp.pad(W, ((0, pad), (0, 0))).reshape(ns, slab, k)
+    Zp = jnp.pad(Z, ((0, pad), (0, 0))).reshape(ns, slab, k)
+    valid = (jnp.arange(ns * slab) < rows).reshape(ns, slab)
+
+    def slab_scores(w, z):
+        G = w @ P - z + lam_
+        S, D = _scores(w, G, denom, Pdiag, dt)
+        return G, S, D
+
+    def pass1(args):
+        w, z, m = args
+        _, _, D = slab_scores(w, z)
+        return jnp.max(jnp.where(m[:, None], D, -jnp.inf))
+
+    p_init = jnp.maximum(
+        jnp.asarray(-1.0, dt), jnp.max(jax.lax.map(pass1, (Wp, Zp, valid)))
+    )
+    threshold = nu * p_init
+
+    def pass2(args):
+        w, z, m = args
+        G, S, D = slab_scores(w, z)
+        # padding rows start frozen (it = max_inner): their S is 0 so a
+        # step would be a no-op, but D == 0 could tie a non-positive
+        # threshold and spin the masked loop
+        it0 = jnp.where(m, 0, max_inner).astype(jnp.int32)
+        return _greedy_rows(
+            w, G, S, D, it0, P, denom, Pdiag, threshold, max_inner, dt
+        )
+
+    deltas = jax.lax.map(pass2, (Wp, Zp, valid))
+    return projectnn(W + deltas.reshape(ns * slab, k)[:rows])
+
+
+def _greedy_rows(W, G, S, D, it0, P, denom, Pdiag, threshold, max_inner, dt):
+    """Every row's greedy coordinate schedule from the given initial scores
+    (rows with ``it0 == max_inner`` never step); returns the accumulated
+    per-row deltas.  Runs the compaction cascade above the ``off_rows``
+    knob, the plain vmapped bounded while_loop below it."""
+    rows, k = W.shape
 
     def row_solve(w_row, c0: _RowCarry):
         """Continue one row's greedy schedule from an existing carry."""
@@ -144,8 +204,7 @@ def _halfstep(X, W, Ht, lam):
         return jax.lax.while_loop(cond, body, c0)
 
     init = _RowCarry(
-        jnp.zeros((rows, k), dt), G, S, D, q0,
-        jnp.zeros((rows,), jnp.int32),
+        jnp.zeros((rows, k), dt), G, S, D, jnp.argmax(D, axis=1), it0,
     )
 
     from .. import config
@@ -153,8 +212,7 @@ def _halfstep(X, W, Ht, lam):
     knobs = config.greedycd_cascade
     shrink, cascade_min = knobs["shrink"], knobs["min"]
     if rows < knobs["off_rows"]:
-        delta = jax.vmap(row_solve)(W, init).delta
-        return projectnn(W + delta)
+        return jax.vmap(row_solve)(W, init).delta
 
     def masked_machinery(Wsub):
         """Masked full-width step over a buffer of rows (carry shapes match
@@ -226,8 +284,7 @@ def _halfstep(X, W, Ht, lam):
         delta_full = carry.delta
     else:
         delta_full = delta_full.at[idx].set(carry.delta, mode="drop")
-    # projectnn as a rounding-error countermeasure (src/greedycd.jl:164-165)
-    return projectnn(W + delta_full)
+    return delta_full
 
 
 def _prepare(upd: GreedyCD, X, W, H):
@@ -251,4 +308,5 @@ def _objective(upd: GreedyCD, state, X, W, H):
     return r
 
 
-register_solver(GreedyCD, prepare=_prepare, update=_update, objective=_objective)
+register_solver(GreedyCD, prepare=_prepare, update=_update,
+                objective=_objective, renumber_safe=True)

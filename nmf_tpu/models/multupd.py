@@ -184,4 +184,9 @@ def _objective(upd: MultUpdate, state, X, W, H):
     return kl_objective(X, W, H)
 
 
-register_solver(MultUpdate, prepare=_prepare, update=_update, objective=_objective)
+# mse consumes X only through mm/mtm (renumber-equivariant); div's Q
+# refresh speaks the CSR-order value layout, which the stripped tiling
+# cannot serve
+register_solver(MultUpdate, prepare=_prepare, update=_update,
+                objective=_objective,
+                renumber_safe=lambda upd: upd.obj == "mse")

@@ -98,4 +98,5 @@ def _objective(upd: ProjectedALS, state, X, W, H):
     return r
 
 
-register_solver(ProjectedALS, prepare=_prepare, update=_update, objective=_objective)
+register_solver(ProjectedALS, prepare=_prepare, update=_update,
+                objective=_objective, renumber_safe=True)

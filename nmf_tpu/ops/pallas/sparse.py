@@ -137,17 +137,43 @@ def _read_rp(rp_ref, i, G, t, rp_bits):
     return (w >> (5 * (c % 6))) & 0x1F
 
 
+def _win_bits(n_stripes, n_colpanels):
+    """Bits for the packed (stripe | panel) window word, and whether two
+    windows fit one int32 (16 bits each, stripe field all-ones = the -1
+    sentinel).  Falls back to the 32-bit stripe<<16|panel form when either
+    id is too wide."""
+    sb = max(int(n_stripes).bit_length() + 1, 2)  # +1: sentinel all-ones
+    pb = max(int(n_colpanels).bit_length(), 1)
+    if sb + pb <= 16:
+        return 16, pb
+    return 32, 16
+
+
+def _read_win(wm_ref, i, wbits, pbits):
+    """(stripe, panel) of window ``i``.  16-bit mode: two windows per word,
+    dynamic half-select; stripe is sign-extended from its field so the
+    all-ones sentinel reads as -1."""
+    if wbits == 32:
+        w = wm_ref[i]
+        return w >> 16, w & 0xFFFF
+    h = (wm_ref[i // 2] >> (16 * (i % 2))) & 0xFFFF
+    stripe = (h >> pbits) - jnp.where(
+        (h >> 15) != 0, jnp.int32(1 << (16 - pbits)), jnp.int32(0)
+    )  # sign-extend the stripe field (sentinel = all-ones = -1)
+    return stripe, h & ((1 << pbits) - 1)
+
+
 def _make_kernel_compact(G, stripe_width, K, precision: str, span: int = 1,
-                         rp_bits: int = 8):
+                         rp_bits: int = 8, wbits: int = 32, pbits: int = 16):
     def kernel(
-        win_meta, rp_ref, lrows_ref, lcols_ref, vals_ref, dt_ref,
+        win_meta, rp_ref, coords_ref, vals_ref, dt_ref,
         out_hbm, acc_ref, copy_sem,
     ):
         i = pl.program_id(0)
-        # window word = stripe<<16 | panel (panel consumed by the index map);
-        # arithmetic >>16 recovers the stripe incl. the -1 sentinel
-        s = win_meta[i] >> 16
-        prev = win_meta[jnp.maximum(i - 1, 0)] >> 16
+        # packed window words (panel consumed by the index map); the stripe
+        # read sign-extends so the sentinel recovers as -1
+        s, _ = _read_win(win_meta, i, wbits, pbits)
+        prev, _ = _read_win(win_meta, jnp.maximum(i - 1, 0), wbits, pbits)
 
         @pl.when(jnp.logical_or(i == 0, prev != s))
         def _():
@@ -161,8 +187,9 @@ def _make_kernel_compact(G, stripe_width, K, precision: str, span: int = 1,
             # VPU/MXU instruction overlap across chunks
             for t in range(G):
                 rp = _read_rp(rp_ref, i, G, t, rp_bits)
+                c = coords_ref[t, :]
                 _chunk_update(
-                    acc_ref, dblk, lrows_ref[t, :], lcols_ref[t, :],
+                    acc_ref, dblk, c & 127, c >> 7,
                     vals_ref[t, :], rr, K, precision, rp, span,
                 )
         else:
@@ -174,8 +201,9 @@ def _make_kernel_compact(G, stripe_width, K, precision: str, span: int = 1,
             # chunk's worth
             def tile_body(t, carry):
                 rp = _read_rp(rp_ref, i, G, t, rp_bits)
+                c = coords_ref[t, :]
                 _chunk_update(
-                    acc_ref, dblk, lrows_ref[t, :], lcols_ref[t, :],
+                    acc_ref, dblk, c & 127, c >> 7,
                     vals_ref[t, :], rr, K, precision, rp, span,
                 )
                 return carry
@@ -183,7 +211,9 @@ def _make_kernel_compact(G, stripe_width, K, precision: str, span: int = 1,
             jax.lax.fori_loop(0, G, tile_body, 0)
 
         # flush when the next window starts a new stripe (sentinel -1 at end)
-        @pl.when((win_meta[i + 1] >> 16) != s)
+        nxt, _ = _read_win(win_meta, i + 1, wbits, pbits)
+
+        @pl.when(nxt != s)
         def _():
             copy = pltpu.make_async_copy(
                 acc_ref,
@@ -196,16 +226,27 @@ def _make_kernel_compact(G, stripe_width, K, precision: str, span: int = 1,
     return kernel
 
 
-def _pack_scalar_meta(chunk_rp, win_panel, win_stripe, G, rp_bits):
+def _pack_scalar_meta(chunk_rp, win_panel, win_stripe, G, rp_bits,
+                      wbits=32, pbits=16):
     """Build the kernel's two scalar-prefetch operands from the stored
-    layout: merged window words (stripe<<16 | panel) and — for the 5-bit
-    encoding — rp repacked 6 per int32.  At the 2Mx200k north-star slab the
-    stored form (4 rp bytes/word + two window arrays) is 1.38 MB of scalar
-    operands vs the 1 MB SMEM budget; this form is ~860 KB
-    (benchmarks/results/config6_smem_finding_r03.jsonl).  Pure jnp, O(nnz /
-    TILE) elementwise — noise next to the matmul it feeds, and loop-invariant
-    in the solver while_loops."""
-    win_meta = (win_stripe.astype(jnp.int32) << 16) | (win_panel & 0xFFFF)
+    layout: packed window words and — for the 5-bit encoding — rp repacked
+    6 per int32.  Windows pack 2 per word at 16 bits (stripe | panel, the
+    sentinel's stripe field all-ones) when both ids fit (_win_bits), else
+    one stripe<<16|panel word each.  At the 2Mx200k north-star slab the
+    round-3 stored form (4 rp bytes/word + two 32-bit window arrays) was
+    1.38 MB of scalar operands vs the 1 MB SMEM budget; this form is
+    ~700 KB.  Pure jnp, O(nnz / TILE) elementwise — noise next to the
+    matmul it feeds, and loop-invariant in the solver while_loops."""
+    if wbits == 32:
+        win_meta = (win_stripe.astype(jnp.int32) << 16) | (win_panel & 0xFFFF)
+    else:
+        half = (
+            (win_stripe.astype(jnp.int32) << pbits)
+            | (win_panel & ((1 << pbits) - 1))
+        ) & 0xFFFF
+        npadw = -(-half.shape[0] // 2) * 2
+        two = jnp.pad(half, (0, npadw - half.shape[0])).reshape(-1, 2)
+        win_meta = (two[:, 0] | (two[:, 1] << 16)).astype(jnp.int32)
     flat = chunk_rp.reshape(-1)
     if rp_bits == 8:
         return flat, win_meta
@@ -220,17 +261,22 @@ def _pack_scalar_meta(chunk_rp, win_panel, win_stripe, G, rp_bits):
 
 @partial(jax.jit, static_argnames=("meta", "interpret", "precision"))
 def _tiled_matmul_compact_impl(
-    chunk_rp, win_panel, win_stripe, lrows, lcols, vals, Dt, meta,
+    chunk_rp, win_panel, win_stripe, coords, vals, Dt, meta,
     interpret=False, precision="highest",
 ):
     (n_stripes, n_colpanels, n_windows, G, stripe_width, p_pad, span) = meta
     K = Dt.shape[0]
     prec = _resolve_precision(precision)
     rp_bits = 5 if stripe_width // TILE <= 32 else 8
-    kernel = _make_kernel_compact(G, stripe_width, K, prec, span, rp_bits)
+    wbits, pbits = _win_bits(n_stripes, n_colpanels)
+    kernel = _make_kernel_compact(G, stripe_width, K, prec, span, rp_bits,
+                                  wbits, pbits)
     rp_packed, win_meta = _pack_scalar_meta(
-        chunk_rp, win_panel, win_stripe, G, rp_bits
+        chunk_rp, win_panel, win_stripe, G, rp_bits, wbits, pbits
     )
+
+    def dpanel(i, wm, rp):
+        return (0, _read_win(wm, i, wbits, pbits)[1])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -243,10 +289,7 @@ def _tiled_matmul_compact_impl(
                 (G, TILE), lambda i, wm, rp: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (G, TILE), lambda i, wm, rp: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (K, span * TILE), lambda i, wm, rp: (0, wm[i] & 0xFFFF),
+                (K, span * TILE), dpanel,
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -262,12 +305,12 @@ def _tiled_matmul_compact_impl(
         out_shape=jax.ShapeDtypeStruct((K, p_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         cost_estimate=pl.CostEstimate(
-            flops=2 * lrows.shape[0] * TILE * TILE * K,
-            bytes_accessed=3 * lrows.size * 4 + Dt.size * 4 * n_stripes + K * p_pad * 4,
+            flops=2 * coords.shape[0] * TILE * TILE * K,
+            bytes_accessed=2 * coords.size * 4 + Dt.size * 4 * n_stripes + K * p_pad * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(win_meta, rp_packed, lrows, lcols, vals, Dt)
+    )(win_meta, rp_packed, coords, vals, Dt)
     return out
 
 
@@ -299,8 +342,7 @@ def tiled_matmul_t(side, D, *, interpret: bool = False, precision: str = "highes
         side.chunk_rp,
         side.win_panel,
         side.win_stripe,
-        side.lrows,
-        side.lcols,
+        side.coords,
         jnp.asarray(side.vals, jnp.float32),
         Dt,
         meta,
@@ -548,13 +590,13 @@ def _dense_sample(side, Wt, Ht):
     ).reshape(-1)
 
 
-def _make_sddmm_kernel_compact(G, K, span=1, rp_bits=8):
+def _make_sddmm_kernel_compact(G, K, span=1, rp_bits=8, wbits=32, pbits=16):
     """SDDMM over the compact chunk layout: per 128-nnz chunk, lane-gather
     the W rows out of the stripe block and the H columns out of the col
     panel, multiply, reduce over sublanes — no scatter, no accumulator,
     exact f32 on the VPU (the MXU is never involved)."""
 
-    def kernel(win_meta, rp_ref, lrows_ref, lcols_ref, wt_ref,
+    def kernel(win_meta, rp_ref, coords_ref, wt_ref,
                ht_ref, out_ref):
         i = pl.program_id(0)
         hblk = ht_ref[:]  # (K, span*TILE) column panel of H
@@ -563,9 +605,10 @@ def _make_sddmm_kernel_compact(G, K, span=1, rp_bits=8):
             rp = _read_rp(rp_ref, i, G, t, rp_bits)
             off = pl.multiple_of(rp * TILE, TILE)
             wblk = wt_ref[:, pl.ds(off, TILE)]  # (K, TILE) row panel of W'
-            idxr = jnp.broadcast_to(lrows_ref[t, :][None, :], (K, TILE))
+            c = coords_ref[t, :]
+            idxr = jnp.broadcast_to((c & 127)[None, :], (K, TILE))
             wg = jnp.take_along_axis(wblk, idxr, axis=1)
-            hg = _gather_wide(hblk, lcols_ref[t, :], K, span)
+            hg = _gather_wide(hblk, c >> 7, K, span)
             out_ref[t, :] = jnp.sum(wg * hg, axis=0)
 
         if span == 1:
@@ -585,15 +628,23 @@ def _make_sddmm_kernel_compact(G, K, span=1, rp_bits=8):
 
 @partial(jax.jit, static_argnames=("meta", "interpret"))
 def _tiled_sddmm_compact_impl(
-    chunk_rp, win_panel, win_stripe, lrows, lcols, Wt, Ht, meta, interpret=False
+    chunk_rp, win_panel, win_stripe, coords, Wt, Ht, meta, interpret=False
 ):
-    (n_windows, G, stripe_width, span) = meta
+    (n_windows, G, stripe_width, span, n_stripes, n_colpanels) = meta
     K = Wt.shape[0]
     rp_bits = 5 if stripe_width // TILE <= 32 else 8
-    kernel = _make_sddmm_kernel_compact(G, K, span, rp_bits)
+    wbits, pbits = _win_bits(n_stripes, n_colpanels)
+    kernel = _make_sddmm_kernel_compact(G, K, span, rp_bits, wbits, pbits)
     rp_packed, win_meta = _pack_scalar_meta(
-        chunk_rp, win_panel, win_stripe, G, rp_bits
+        chunk_rp, win_panel, win_stripe, G, rp_bits, wbits, pbits
     )
+
+    def wstripe(i, wm, rp):
+        return (0, _read_win(wm, i, wbits, pbits)[0])
+
+    def dpanel(i, wm, rp):
+        return (0, _read_win(wm, i, wbits, pbits)[1])
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_windows,),
@@ -602,15 +653,12 @@ def _tiled_sddmm_compact_impl(
                 (G, TILE), lambda i, wm, rp: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (G, TILE), lambda i, wm, rp: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
                 (K, stripe_width),
-                lambda i, wm, rp: (0, wm[i] >> 16),
+                wstripe,
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (K, span * TILE), lambda i, wm, rp: (0, wm[i] & 0xFFFF),
+                (K, span * TILE), dpanel,
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -623,12 +671,12 @@ def _tiled_sddmm_compact_impl(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_windows * G, TILE), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * lrows.size * K,
-            bytes_accessed=2 * lrows.size * 4 + Wt.size * 4 + Ht.size * 4,
+            flops=2 * coords.size * K,
+            bytes_accessed=coords.size * 4 + Wt.size * 4 + Ht.size * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(win_meta, rp_packed, lrows, lcols, Wt, Ht)
+    )(win_meta, rp_packed, coords, Wt, Ht)
 
 
 def _make_sddmm_quad_kernel(QG, K, seg_size=32):
@@ -726,9 +774,10 @@ def tiled_sddmm(X: TiledCSR, W, H, *, interpret: bool = False):
     n_pad = side.n_colpanels * TILE * side.span
     Wt = jnp.pad(jnp.asarray(W, jnp.float32).T, ((0, K - k), (0, p_pad - W.shape[0])))
     Ht = jnp.pad(jnp.asarray(H, jnp.float32), ((0, K - k), (0, n_pad - H.shape[1])))
-    meta = (side.n_windows, side.group, stripe_width, side.span)
+    meta = (side.n_windows, side.group, stripe_width, side.span,
+            side.n_stripes, side.n_colpanels)
     out = _tiled_sddmm_compact_impl(
-        side.chunk_rp, side.win_panel, side.win_stripe, side.lrows, side.lcols,
+        side.chunk_rp, side.win_panel, side.win_stripe, side.coords,
         Wt, Ht, meta, interpret,
     )
     flat = out.reshape(-1)

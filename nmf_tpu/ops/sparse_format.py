@@ -62,8 +62,11 @@ class TiledSideC:
     which is what makes power-law data (the MovieLens-style config) viable.
     """
 
-    lrows: jax.Array = data_field()  # (nwin*group, TILE) int32, row within panel
-    lcols: jax.Array = data_field()  # (nwin*group, TILE) int32, col within panel
+    # (nwin*group, TILE) int32: packed slot coordinates ``lcol << 7 | lrow``
+    # (row within the 128-row panel, col within the span*128-wide panel) —
+    # one array instead of two at the same Mosaic-friendly dtype, 8 B/slot
+    # with vals instead of 12 (the round-4 capacity-scale HBM diet)
+    coords: jax.Array = data_field()
     vals: jax.Array = data_field()  # (nwin*group, TILE) float
     # (nwin, group//4) int32: per-chunk row panel in stripe, 4 packed per
     # word (byte-lanes) so the scalar-prefetch operand fits SMEM at 10M+ nnz
@@ -372,8 +375,7 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
         group_base = np.zeros(1, np.int64)
     n_windows = total_chunks // group
 
-    lrows = np.zeros((total_chunks, TILE), np.int32)
-    lcols = np.zeros((total_chunks, TILE), np.int32)
+    coords = np.zeros((total_chunks, TILE), np.int32)
     out_vals = np.zeros((total_chunks, TILE), np.float32)
     chunk_rp = np.zeros(total_chunks, np.int32)
 
@@ -392,8 +394,9 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
         tile_of_nnz = np.searchsorted(tiles, tkey)
         chunk_idx = tile_chunk_base[tile_of_nnz] + chunk_within
 
-        lrows[chunk_idx, slot] = (s_rows % TILE).astype(np.int32)
-        lcols[chunk_idx, slot] = (s_cols % cwidth).astype(np.int32)
+        coords[chunk_idx, slot] = (
+            ((s_cols % cwidth) << 7) | (s_rows % TILE)
+        ).astype(np.int32)
         out_vals[chunk_idx, slot] = s_vals
 
         # row panel of every (non-padding) chunk
@@ -585,8 +588,7 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
 
     asarray = lambda a: None if a is None else jnp.asarray(a)
     return TiledSideC(
-        jnp.asarray(lrows),
-        jnp.asarray(lcols),
+        jnp.asarray(coords),
         jnp.asarray(out_vals),
         jnp.asarray(rp_packed.reshape(n_windows, group // 4)),
         jnp.asarray(win_panel),

@@ -76,8 +76,8 @@ class _ShardedSideC:
     trick the single-chip builder uses for missing stripes).
     """
 
-    lrows: jax.Array = data_field()  # (R, C, nchunks, TILE) int32
-    lcols: jax.Array = data_field()
+    # (R, C, nchunks, TILE) int32: packed slot coords lcol<<7|lrow
+    coords: jax.Array = data_field()
     vals: jax.Array = data_field()
     chunk_rp: jax.Array = data_field()  # (R, C, nwin, group//4) int32 packed
     win_panel: jax.Array = data_field()  # (R, C, nwin+1) int32
@@ -112,7 +112,7 @@ class _ShardedSideC:
         then dense-block elements ((col, row) within block), then quad
         slots — the same region order as ``TiledSideC``'s perm/inv."""
         return (
-            self.lrows.shape[2] * TILE
+            self.coords.shape[2] * TILE
             + self.n_dblocks * TILE * TILE
             + self.n_qchunks * TILE
         )
@@ -202,17 +202,16 @@ def _pad_compact_block(s: TiledSideC, nwin_t: int, nwin_d_t: int,
     DG, QG = DENSE_GROUP, QUAD_GROUP
     out = {}
 
-    lr, lc, vv = np.asarray(s.lrows), np.asarray(s.lcols), np.asarray(s.vals)
+    co, vv = np.asarray(s.coords), np.asarray(s.vals)
     rp = np.asarray(s.chunk_rp)
     wp, ws = np.asarray(s.win_panel), np.asarray(s.win_stripe)
     add = nwin_t - s.n_windows
     if add:
-        lr = np.concatenate([lr, np.zeros((add * group, TILE), np.int32)])
-        lc = np.concatenate([lc, np.zeros((add * group, TILE), np.int32)])
+        co = np.concatenate([co, np.zeros((add * group, TILE), np.int32)])
         vv = np.concatenate([vv, np.zeros((add * group, TILE), np.float32)])
         rp = np.concatenate([rp, np.zeros((add, group // 4), np.int32)])
         wp, ws = _pad_windows(wp, ws, s.n_windows, add)
-    out.update(lrows=lr, lcols=lc, vals=vv, chunk_rp=rp, win_panel=wp,
+    out.update(coords=co, vals=vv, chunk_rp=rp, win_panel=wp,
                win_stripe=ws)
 
     if nwin_d_t:
@@ -317,7 +316,7 @@ def _assemble_compact(mesh, R, C, fwd_blocks, bwd_blocks, targets,
     def make_side(padded, src, nwin, nwd, nwq, fwd_lead, key_fn, lp, ln):
         a = lambda name: asm(padded, name, fwd_lead, key_fn)
         return _ShardedSideC(
-            a("lrows"), a("lcols"), a("vals"), a("chunk_rp"),
+            a("coords"), a("vals"), a("chunk_rp"),
             a("win_panel"), a("win_stripe"),
             n_stripes=src.n_stripes,
             n_colpanels=src.n_colpanels,
@@ -553,7 +552,7 @@ def shard_tiled(
 
 
 def _compact_operand_names(side: _ShardedSideC):
-    names = ["lrows", "lcols", "vals", "chunk_rp", "win_panel", "win_stripe"]
+    names = ["coords", "vals", "chunk_rp", "win_panel", "win_stripe"]
     if side.n_dblocks:
         names += ["dvals", "dblk_panel", "dblk_stripe", "dblk_rp"]
     if side.n_qchunks:
@@ -580,7 +579,7 @@ def _local_matmul_compact(side: _ShardedSideC, a: dict, Dt_local, precision):
             stripe_width, p_pad, 1)
     out = _tiled_matmul_compact_impl(
         a["chunk_rp"], a["win_panel"], a["win_stripe"],
-        a["lrows"], a["lcols"], a["vals"], Dt_local, meta, False, precision,
+        a["coords"], a["vals"], Dt_local, meta, False, precision,
     )
     if side.n_dblocks:
         out = out + _tiled_dense_impl(
@@ -609,8 +608,8 @@ def _slot_coords_compact(side: _ShardedSideC, a: dict):
     w = c // side.group
     word = a["chunk_rp"].reshape(-1)[c // 4]
     rp = (word >> (8 * (c % 4))) & 0xFF
-    row_c = ((a["win_stripe"][w] * st + rp) * TILE)[:, None] + a["lrows"]
-    col_c = (a["win_panel"][w] * TILE)[:, None] + a["lcols"]
+    row_c = ((a["win_stripe"][w] * st + rp) * TILE)[:, None] + (a["coords"] & 127)
+    col_c = (a["win_panel"][w] * TILE)[:, None] + (a["coords"] >> 7)
     rows = [row_c.reshape(-1)]
     cols = [col_c.reshape(-1)]
     if side.n_dblocks:
@@ -779,8 +778,9 @@ def _local_sddmm_kernels(side: _ShardedSideC, a: dict, Wl, Htl):
         ((0, K - k), (0, n_pad - Htl.shape[0])),
     )
     out = _tiled_sddmm_compact_impl(
-        a["chunk_rp"], a["win_panel"], a["win_stripe"], a["lrows"], a["lcols"],
-        Wt, Ht, (side.n_windows, side.group, stripe_width, 1), False,
+        a["chunk_rp"], a["win_panel"], a["win_stripe"], a["coords"],
+        Wt, Ht, (side.n_windows, side.group, stripe_width, 1,
+                 side.n_stripes, side.n_colpanels), False,
     )
     flat = out.reshape(-1)
     if side.n_dblocks:
@@ -1026,7 +1026,7 @@ def sharded_load_stats(X: ShardedTiled) -> dict:
     rep = NamedSharding(X.mesh, P()) if X.mesh is not None else None
     compact = isinstance(side, _ShardedSideC)
     operands = {"chunk_nnz": (side.vals, (2, 3))}
-    slots = side.lrows.shape[2] * TILE
+    slots = side.coords.shape[2] * TILE
     if compact:
         if side.n_dblocks:
             operands["dense_nnz"] = (side.dvals, (2, 3, 4))

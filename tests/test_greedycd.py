@@ -114,3 +114,39 @@ def test_compaction_cascade_matches_plain(monkeypatch):
         np.testing.assert_array_equal(np.asarray(got.W), np.asarray(plain.W))
         np.testing.assert_array_equal(np.asarray(got.H), np.asarray(plain.H))
         assert got.objvalue == plain.objvalue
+
+
+def test_slab_path_bit_identical():
+    """The row-slab driver (slab_rows knob; the config6-scale HBM fix) must
+    reproduce the full-width update exactly: rows are independent given the
+    Grams, and the global p_init is agreed by a masked max first."""
+    import jax.numpy as jnp
+
+    import nmf_tpu
+    import nmf_tpu.config as config
+
+    rng = np.random.default_rng(11)
+    p, n, k = 900, 140, 7
+    Xd = np.maximum(rng.random((p, k)) @ rng.random((k, n)), 0).astype(np.float32)
+    W0 = jnp.asarray(rng.random((p, k)).astype(np.float32))
+    H0 = jnp.asarray(rng.random((k, n)).astype(np.float32))
+    alg = nmf_tpu.GreedyCD(maxiter=5, tol=1e-30)
+    old = dict(config.greedycd_cascade)
+    try:
+        config.set_greedycd_cascade(slab_rows=1 << 30)
+        a = nmf_tpu.solve(alg, jnp.asarray(Xd), W0, H0)
+        # slab = 256 rows -> 4 slabs, off_rows forces the cascade inside
+        config.set_greedycd_cascade(slab_rows=256, off_rows=128, min=32)
+        b = nmf_tpu.solve(alg, jnp.asarray(Xd), W0, H0)
+        # and the plain vmapped path inside each slab
+        config.set_greedycd_cascade(slab_rows=256, off_rows=1 << 30)
+        c = nmf_tpu.solve(alg, jnp.asarray(Xd), W0, H0)
+    finally:
+        config.greedycd_cascade.update(old)
+        import jax
+
+        jax.clear_caches()
+    np.testing.assert_array_equal(np.asarray(a.W), np.asarray(b.W))
+    np.testing.assert_array_equal(np.asarray(a.H), np.asarray(b.H))
+    np.testing.assert_array_equal(np.asarray(a.W), np.asarray(c.W))
+    assert a.objvalue == b.objvalue == c.objvalue

@@ -427,3 +427,38 @@ def test_slim_matches_full_solve():
     b = nmf_tpu.solve(alg, S, W0, H0)
     np.testing.assert_allclose(np.asarray(b.W), np.asarray(a.W), rtol=1e-5, atol=1e-6)
     assert np.isclose(b.objvalue, a.objvalue, rtol=1e-5)
+
+
+def test_renumbered_solve_matches_natural():
+    """Degree-ordered TiledCSR solves run in renumbered coordinates (the
+    skeleton pre-permutes the factors once and strips the tiling's perms —
+    no per-product factor gathers); results must match the natural-order
+    tiling up to float summation order."""
+    rng = np.random.default_rng(5)
+    p, n, k = 500, 380, 6
+    Xd = np.maximum(rng.random((p, k)) @ rng.random((k, n)), 0)
+    Xd = (Xd * (rng.random((p, n)) < 0.15)).astype(np.float32)
+    r, c = np.nonzero(Xd)
+    Xdeg = build_tiled(r, c, Xd[r, c], Xd.shape, order="degree")
+    Xnat = build_tiled(r, c, Xd[r, c], Xd.shape, order="natural")
+    W0 = jnp.asarray(rng.random((p, k)).astype(np.float32))
+    H0 = jnp.asarray(rng.random((k, n)).astype(np.float32))
+    for alg in (
+        nmf_tpu.CoordinateDescent(maxiter=6, tol=1e-30),
+        nmf_tpu.GreedyCD(maxiter=4, tol=1e-30),
+        nmf_tpu.MultUpdate(obj="mse", maxiter=6, tol=1e-30),
+    ):
+        a = nmf_tpu.solve(alg, Xdeg, W0, H0)
+        b = nmf_tpu.solve(alg, Xnat, W0, H0)
+        assert a.niters == b.niters
+        np.testing.assert_allclose(
+            np.asarray(a.W), np.asarray(b.W), rtol=2e-4, atol=2e-5
+        )
+        assert np.isclose(a.objvalue, b.objvalue, rtol=1e-4)
+    # the KL solver (CSR-order value refreshes) must keep the gather path
+    kl = nmf_tpu.MultUpdate(obj="div", maxiter=4, tol=1e-30)
+    a = nmf_tpu.solve(kl, Xdeg, W0, H0)
+    b = nmf_tpu.solve(kl, Xnat, W0, H0)
+    np.testing.assert_allclose(
+        np.asarray(a.W), np.asarray(b.W), rtol=2e-3, atol=2e-4
+    )
