@@ -139,10 +139,12 @@ def _read_rp(rp_ref, i, G, t, rp_bits):
 
 def _win_bits(n_stripes, n_colpanels):
     """Bits for the packed (stripe | panel) window word, and whether two
-    windows fit one int32 (16 bits each, stripe field all-ones = the -1
-    sentinel).  Falls back to the 32-bit stripe<<16|panel form when either
-    id is too wide."""
-    sb = max(int(n_stripes).bit_length() + 1, 2)  # +1: sentinel all-ones
+    windows fit one int32 (16 bits each).  The builder's -1 sentinel masks
+    to the stripe field's all-ones value, which is never a real stripe id
+    (``2**bit_length(n) > n``), so the flush-boundary compare still fires —
+    no sign handling needed.  Falls back to the 32-bit stripe<<16|panel
+    form when the ids are too wide."""
+    sb = max(int(n_stripes).bit_length(), 1)
     pb = max(int(n_colpanels).bit_length(), 1)
     if sb + pb <= 16:
         return 16, pb
@@ -150,17 +152,15 @@ def _win_bits(n_stripes, n_colpanels):
 
 
 def _read_win(wm_ref, i, wbits, pbits):
-    """(stripe, panel) of window ``i``.  16-bit mode: two windows per word,
-    dynamic half-select; stripe is sign-extended from its field so the
-    all-ones sentinel reads as -1."""
+    """(stripe, panel) of window ``i``; 16-bit mode selects a half-word
+    dynamically.  The stripe value is only ever compared (boundaries) or
+    used as a flush target while real, so the sentinel's masked all-ones
+    encoding needs no decode."""
     if wbits == 32:
         w = wm_ref[i]
         return w >> 16, w & 0xFFFF
     h = (wm_ref[i // 2] >> (16 * (i % 2))) & 0xFFFF
-    stripe = (h >> pbits) - jnp.where(
-        (h >> 15) != 0, jnp.int32(1 << (16 - pbits)), jnp.int32(0)
-    )  # sign-extend the stripe field (sentinel = all-ones = -1)
-    return stripe, h & ((1 << pbits) - 1)
+    return h >> pbits, h & ((1 << pbits) - 1)
 
 
 def _make_kernel_compact(G, stripe_width, K, precision: str, span: int = 1,
@@ -240,10 +240,10 @@ def _pack_scalar_meta(chunk_rp, win_panel, win_stripe, G, rp_bits,
     if wbits == 32:
         win_meta = (win_stripe.astype(jnp.int32) << 16) | (win_panel & 0xFFFF)
     else:
-        half = (
-            (win_stripe.astype(jnp.int32) << pbits)
-            | (win_panel & ((1 << pbits) - 1))
-        ) & 0xFFFF
+        smask = (1 << (16 - pbits)) - 1
+        half = ((win_stripe.astype(jnp.int32) & smask) << pbits) | (
+            win_panel & ((1 << pbits) - 1)
+        )
         npadw = -(-half.shape[0] // 2) * 2
         two = jnp.pad(half, (0, npadw - half.shape[0])).reshape(-1, 2)
         win_meta = (two[:, 0] | (two[:, 1] << 16)).astype(jnp.int32)
