@@ -70,6 +70,35 @@ def _solver_rate(upd, X, W, H, n_small, n_big, dtype=np.float32):
     return _timed(run, n_small, n_big)
 
 
+def _solver_rate_device_init(upd, X, p, n, k, n_small, n_big, seed=0):
+    """Like _solver_rate but the random W0/H0 are GENERATED INSIDE the
+    jitted program: at capacity scale (config6: 2M x 256) the separate
+    W0/H0 operand buffers are 2.25 GB of HBM on top of the carry's own
+    copies, and dropping them was the difference between running and
+    ResourceExhausted (benchmarks/results/config6_capacity_r04.jsonl).
+    Assumes X is already renumbered/stripped if applicable."""
+    import jax
+    import jax.numpy as jnp
+
+    from nmf_tpu.models.common import _solve_while
+
+    tol = jnp.asarray(1e-30, jnp.float32)
+    key = jax.random.PRNGKey(seed)
+
+    @jax.jit
+    def prog(X, key, iters):
+        kw, kh = jax.random.split(key)
+        W0 = jax.random.uniform(kw, (p, k), jnp.float32)
+        H0 = jax.random.uniform(kh, (k, n), jnp.float32)
+        return _solve_while(upd, X, W0, H0, iters, tol)
+
+    def run(iters):
+        out = prog(X, key, jnp.asarray(iters, jnp.int32))
+        float(out[4])
+
+    return _timed(run, n_small, n_big)
+
+
 def _time_to_tol(upd, X, W, H, target, chunk=25, max_iters=5000, trajectory=False):
     """Wall time until relative reconstruction error
     ``||X - WH||_F / ||X||_F <= target`` (BASELINE.md's stated metric).
@@ -467,21 +496,27 @@ def config6():
     # on-chip, r3).  16-wide tiles collapse the panel axis 16x: metadata
     # fits and the pad collapses; the span-way gather cost only applies to
     # the small tail fraction.
-    # dense_tile_nnz=1024 (not config4's 192): at this scale the dense
+    # dense_tile_nnz=2048 (not config4's 192): at this scale the dense
     # store is an HBM budget item — 72k blocks at thresh 192 = 4.5 GB/side
-    # vs 0.9 GB at 1024 (tile histogram, docs/sparse_kernel_design.md r4);
+    # vs 0.36 GB at 2048 (tile histogram, docs/sparse_kernel_design.md r4);
     # the mid-density tiles ride the chunk pipeline.  group=8 halves the
     # per-(stripe, panel)-group chunk padding; with the 16-bit window words
-    # + 5-bit rp the scalar metadata is ~900 KB (sim table in the doc) —
+    # + 5-bit rp the scalar metadata is ~984 KB (sim table in the doc) —
     # under the 1 MB SMEM budget.  .slim() drops the ~4 GB of CSR refresh
-    # maps the MSE solvers never read, and _solver_rate runs the solve in
-    # renumbered coordinates (no per-product factor gathers).
+    # maps the MSE solvers never read; the solve runs in renumbered
+    # coordinates with device-side random init (the full capacity ladder:
+    # benchmarks/results/config6_capacity_r04.jsonl).
+    import dataclasses
+
     X = build_tiled(
-        rows, cols, vals, (p, n), dense_tile_nnz=1024, group=8, tail_span=16
+        rows, cols, vals, (p, n), dense_tile_nnz=2048, group=8, tail_span=16
     ).slim()
+    # renumbered coordinates for the whole solve (random init: no factor
+    # permutation needed, just strip the tiling's perms)
+    X = dataclasses.replace(
+        X, row_perm=None, row_rank=None, col_perm=None, col_rank=None
+    )
     build_sec = time.perf_counter() - t0
-    W = jnp.asarray(rng.random((p, k), dtype=np.float32))
-    H = jnp.asarray(rng.random((k, n), dtype=np.float32))
 
     out = {
         "metric": "c6_northstar_slice_2Mx200k_k256",
@@ -493,12 +528,16 @@ def config6():
     }
     try:
         cd, _ = CoordinateDescent(maxiter=100)._resolved(np.float32)
-        out["value"] = round(_solver_rate(cd, X, W, H, 2, 6), 3)
+        out["value"] = round(
+            _solver_rate_device_init(cd, X, p, n, k, 2, 6), 3
+        )
     except Exception as e:  # keep the other solver's number
         out["hals_error"] = repr(e)[:4000]
     try:
         g, _ = GreedyCD(maxiter=100)._resolved(np.float32)
-        out["greedycd_iters_per_sec"] = round(_solver_rate(g, X, W, H, 2, 5), 3)
+        out["greedycd_iters_per_sec"] = round(
+            _solver_rate_device_init(g, X, p, n, k, 2, 4), 3
+        )
     except Exception as e:
         out["greedycd_error"] = repr(e)[:4000]
     return out

@@ -144,41 +144,50 @@ def _halfstep(X, W, Ht, lam):
         )
         return projectnn(W + delta)
 
+    # Sequential slab sweep with dynamic slices — no padded/stacked copies
+    # of W and Z (a lax.map over pre-reshaped slabs costs 3 extra (rows, k)
+    # buffers).  The LAST slab starts at rows - slab and overlaps the
+    # previous one: overlapped rows run the identical schedule twice and
+    # the second write stores identical values, so results stay bit-exact.
     ns = -(-rows // slab_max)
     slab = -(-rows // ns)
-    pad = ns * slab - rows
-    Wp = jnp.pad(W, ((0, pad), (0, 0))).reshape(ns, slab, k)
-    Zp = jnp.pad(Z, ((0, pad), (0, 0))).reshape(ns, slab, k)
-    valid = (jnp.arange(ns * slab) < rows).reshape(ns, slab)
+
+    def start_of(i):
+        return jnp.minimum(i * slab, rows - slab)
 
     def slab_scores(w, z):
         G = w @ P - z + lam_
         S, D = _scores(w, G, denom, Pdiag, dt)
         return G, S, D
 
-    def pass1(args):
-        w, z, m = args
+    def pass1(i, acc):
+        s0 = start_of(i)
+        w = jax.lax.dynamic_slice_in_dim(W, s0, slab)
+        z = jax.lax.dynamic_slice_in_dim(Z, s0, slab)
         _, _, D = slab_scores(w, z)
-        return jnp.max(jnp.where(m[:, None], D, -jnp.inf))
+        return jnp.maximum(acc, jnp.max(D))
 
     p_init = jnp.maximum(
-        jnp.asarray(-1.0, dt), jnp.max(jax.lax.map(pass1, (Wp, Zp, valid)))
+        jnp.asarray(-1.0, dt),
+        jax.lax.fori_loop(0, ns, pass1, jnp.asarray(-jnp.inf, dt)),
     )
     threshold = nu * p_init
 
-    def pass2(args):
-        w, z, m = args
+    def pass2(i, delta_acc):
+        s0 = start_of(i)
+        w = jax.lax.dynamic_slice_in_dim(W, s0, slab)
+        z = jax.lax.dynamic_slice_in_dim(Z, s0, slab)
         G, S, D = slab_scores(w, z)
-        # padding rows start frozen (it = max_inner): their S is 0 so a
-        # step would be a no-op, but D == 0 could tie a non-positive
-        # threshold and spin the masked loop
-        it0 = jnp.where(m, 0, max_inner).astype(jnp.int32)
-        return _greedy_rows(
-            w, G, S, D, it0, P, denom, Pdiag, threshold, max_inner, dt
+        delta = _greedy_rows(
+            w, G, S, D, jnp.zeros((slab,), jnp.int32), P, denom, Pdiag,
+            threshold, max_inner, dt,
         )
+        return jax.lax.dynamic_update_slice_in_dim(delta_acc, delta, s0, 0)
 
-    deltas = jax.lax.map(pass2, (Wp, Zp, valid))
-    return projectnn(W + deltas.reshape(ns * slab, k)[:rows])
+    delta_full = jax.lax.fori_loop(
+        0, ns, pass2, jnp.zeros((rows, k), dt)
+    )
+    return projectnn(W + delta_full)
 
 
 def _greedy_rows(W, G, S, D, it0, P, denom, Pdiag, threshold, max_inner, dt):
