@@ -12,8 +12,9 @@ def main():
     from nmf_tpu.models.coorddesc import CoordinateDescent
     from nmf_tpu.ops.sparse_format import build_tiled
 
-    dense = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    dense = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     group = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    solver = sys.argv[3] if len(sys.argv) > 3 else "cd"
     rng = np.random.default_rng(0)
     p, n, k = 2_000_000, 200_000, 256
     rows, cols, vals = _movielens_like(rng, p=p, n=n, nnz=90_000_000)
@@ -23,7 +24,12 @@ def main():
     print("build", round(time.perf_counter() - t0, 1), "s", flush=True)
     import jax
 
-    cd, _ = CoordinateDescent(maxiter=100)._resolved(np.float32)
+    if solver == "cd":
+        cd, _ = CoordinateDescent(maxiter=100)._resolved(np.float32)
+    else:
+        from nmf_tpu.models.greedycd import GreedyCD
+
+        cd, _ = GreedyCD(maxiter=100)._resolved(np.float32)
     if _renumber_ok(cd, X):
         import dataclasses
         X = dataclasses.replace(

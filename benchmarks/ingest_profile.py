@@ -78,10 +78,11 @@ def main():
             rr, cc, v1, P, N, 32, 16, args.dense, args.span, None, 32,
         )
         dt = time.perf_counter() - t0
+        # .nbytes on the jnp arrays directly — np.asarray here read 1.8 GB
+        # back over the TPU tunnel and dominated the first profile run
         store_mb = sum(
-            int(np.asarray(getattr(side, f)).nbytes) // 2**20
-            for f in ("coords", "vals")
-        ) + (int(np.asarray(side.dvals).nbytes) // 2**20 if side.n_dblocks else 0)
+            int(getattr(side, f).nbytes) // 2**20 for f in ("coords", "vals")
+        ) + (int(side.dvals.nbytes) // 2**20 if side.n_dblocks else 0)
         print(json.dumps({"phase": label, "sec": round(dt, 1),
                           "chunks": int(side.vals.shape[0]),
                           "dense_blocks": side.n_dblocks,

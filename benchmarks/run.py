@@ -534,6 +534,13 @@ def config6():
     except Exception as e:  # keep the other solver's number
         out["hals_error"] = repr(e)[:4000]
     try:
+        # smaller slabs at this scale: the default 512k slab's ~3 GB of
+        # cascade scratch on top of X + carry + Z + delta crashed the TPU
+        # worker (kernel fault = runtime memory pressure; the slab driver
+        # itself validates on-chip at small scale)
+        from nmf_tpu import config as _cfg
+
+        _cfg.set_greedycd_cascade(slab_rows=131072)
         g, _ = GreedyCD(maxiter=100)._resolved(np.float32)
         out["greedycd_iters_per_sec"] = round(
             _solver_rate_device_init(g, X, p, n, k, 2, 4), 3
