@@ -76,12 +76,14 @@ def numpy_hals_sec_per_iter(Xcsr, W, H, iters=2):
         XHt = np.asarray(Xcsr @ Ht)
         for t in range(k):
             grad = W @ HHt[:, t] - XHt[:, t]
-            W[:, t] = np.maximum(W[:, t] - grad / HHt[t, t], 0.0)
+            W[:, t] = np.maximum(W[:, t] - grad / (HHt[t, t] or 1.0), 0.0)
         WtW = W.T @ W
         XtW = np.asarray(Xcsr.T @ W)
         for t in range(k):
             grad = Ht @ WtW[:, t] - XtW[:, t]
-            Ht[:, t] = np.maximum(Ht[:, t] - grad / WtW[t, t], 0.0)
+            # dead components (diag 0) skip their update, like the sklearn
+            # guard the reference ports; `or 1.0` keeps the flop count
+            Ht[:, t] = np.maximum(Ht[:, t] - grad / (WtW[t, t] or 1.0), 0.0)
     return (time.perf_counter() - t0) / iters
 
 
