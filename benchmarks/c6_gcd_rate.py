@@ -1,0 +1,59 @@
+"""Config6 GreedyCD rate via 1-iteration-per-dispatch chunking (the tunnel
+worker kills single dispatches somewhere in the 50-95 s device-time range;
+one greedy iteration is ~45 s)."""
+import sys, os, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import numpy as np
+from run import _movielens_like
+
+def main():
+    import dataclasses
+    import jax, jax.numpy as jnp
+    from nmf_tpu.models.common import _prepare, _solve_while_from
+    from nmf_tpu.models.greedycd import GreedyCD
+    from nmf_tpu.ops.sparse_format import build_tiled
+    import nmf_tpu.config as config
+
+    config.set_greedycd_cascade(slab_rows=131072)
+    rng = np.random.default_rng(0)
+    p, n, k = 2_000_000, 200_000, 256
+    rows, cols, vals = _movielens_like(rng, p=p, n=n, nnz=90_000_000)
+    t0 = time.perf_counter()
+    X = build_tiled(rows, cols, vals, (p, n), dense_tile_nnz=2048,
+                    group=8, tail_span=16).slim()
+    X = dataclasses.replace(X, row_perm=None, row_rank=None,
+                            col_perm=None, col_rank=None)
+    print("build", round(time.perf_counter() - t0, 1), "s", flush=True)
+
+    g, _ = GreedyCD(maxiter=100)._resolved(np.float32)
+    tol = jnp.asarray(1e-30, jnp.float32)
+    kw, kh = jax.random.split(jax.random.PRNGKey(0))
+    W = jax.random.uniform(kw, (p, k), jnp.float32)
+    H = jax.random.uniform(kh, (k, n), jnp.float32)
+    state = _prepare(g, X, W, H)
+
+    def one_iter(w, h, st):
+        w, h, st, t, _conv, _ = _solve_while_from(
+            g, st, X, w, h, 0, jnp.asarray(1, jnp.int32), tol,
+            with_objective=False,
+        )
+        return w, h, st
+
+    t0 = time.perf_counter()
+    W, H, state = one_iter(W, H, state)  # compile + iter 1
+    jax.block_until_ready(W); float(jnp.sum(H))
+    print(f"iter1 (compile+run): {time.perf_counter()-t0:.1f}s", flush=True)
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        W, H, state = one_iter(W, H, state)
+        float(jnp.sum(H))
+        times.append(time.perf_counter() - t0)
+        print(f"iter{i+2}: {times[-1]:.1f}s", flush=True)
+    per = sum(times) / len(times)
+    print(f"greedycd chunked-dispatch rate: {1.0/per:.4f} it/s "
+          f"({per:.1f} s/iter incl dispatch)", flush=True)
+
+if __name__ == "__main__":
+    main()
