@@ -15,12 +15,16 @@ def main():
     dense = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     group = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     solver = sys.argv[3] if len(sys.argv) > 3 else "cd"
+    span = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+    quad = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+    coo = int(sys.argv[6]) if len(sys.argv) > 6 else 0
     rng = np.random.default_rng(0)
     p, n, k = 2_000_000, 200_000, 256
     rows, cols, vals = _movielens_like(rng, p=p, n=n, nnz=90_000_000)
     t0 = time.perf_counter()
     X = build_tiled(rows, cols, vals, (p, n), dense_tile_nnz=dense,
-                    group=group, tail_span=16).slim()
+                    group=group, tail_span=span, quad_tail_nnz=quad or None,
+                    coo_tail_nnz=coo or None).slim()
     print("build", round(time.perf_counter() - t0, 1), "s", flush=True)
     import jax
 

@@ -489,27 +489,22 @@ def config6():
     rows, cols, vals = _movielens_like(rng, p=p, n=n, nnz=90_000_000)
     nnz = len(vals)
     t0 = time.perf_counter()
-    # tail_span=16: at this aspect ratio the post-dense-head tail spreads
-    # ~1 nnz per 128x128 tile over ~400k nonempty (stripe, panel) groups —
-    # narrow tiles pad the chunk store ~100x AND the per-window scalar-
-    # prefetch metadata (1.66 MB) blows the 1 MB SMEM budget (measured
-    # on-chip, r3).  16-wide tiles collapse the panel axis 16x: metadata
-    # fits and the pad collapses; the span-way gather cost only applies to
-    # the small tail fraction.
-    # dense_tile_nnz=2048 (not config4's 192): at this scale the dense
-    # store is an HBM budget item — 72k blocks at thresh 192 = 4.5 GB/side
-    # vs 0.36 GB at 2048 (tile histogram, docs/sparse_kernel_design.md r4);
-    # the mid-density tiles ride the chunk pipeline.  group=8 halves the
-    # per-(stripe, panel)-group chunk padding; with the 16-bit window words
-    # + 5-bit rp the scalar metadata is ~984 KB (sim table in the doc) —
-    # under the 1 MB SMEM budget.  .slim() drops the ~4 GB of CSR refresh
-    # maps the MSE solvers never read; the solve runs in renumbered
-    # coordinates with device-side random init (the full capacity ladder:
-    # benchmarks/results/config6_capacity_r04.jsonl).
+    # Round-5 store (replaces r4's all-span-16 tail): tiles >= 2048 nnz go
+    # dense (24% of nnz, 0.38 GB/side), [33, 2048) ride narrow span-1
+    # chunks (55% at pad 1.2 — the measured ~930 Mnnz/s path), and
+    # everything at or below coo_tail_nnz=32 (15% — ~1.4M one-nnz tiles
+    # whose 128x2048 wide-tile cells average ~22 nnz, unfillable by ANY
+    # 128-slot chunk scheme) rides the XLA segment-sum COO band.  Measured
+    # on-chip: HALS 0.131 -> 0.580 it/s (4.4x) vs the span-16 store whose
+    # ~50 Mnnz/s wide gathers ate ~6.5 of 7.6 s/iter
+    # (docs/sparse_kernel_design.md round-5 section).  .slim() drops the
+    # ~4 GB of CSR refresh maps the MSE solvers never read; the solve runs
+    # in renumbered coordinates with device-side random init.
     import dataclasses
 
     X = build_tiled(
-        rows, cols, vals, (p, n), dense_tile_nnz=2048, group=8, tail_span=16
+        rows, cols, vals, (p, n), dense_tile_nnz=2048, group=8,
+        coo_tail_nnz=32,
     ).slim()
     # renumbered coordinates for the whole solve (random init: no factor
     # permutation needed, just strip the tiling's perms)
@@ -533,13 +528,14 @@ def config6():
         )
     except Exception as e:  # keep the other solver's number
         out["hals_error"] = repr(e)[:4000]
+    from nmf_tpu import config as _cfg
+
+    saved_slab = _cfg.greedycd_cascade["slab_rows"]
     try:
         # smaller slabs at this scale: the default 512k slab's ~3 GB of
         # cascade scratch on top of X + carry + Z + delta crashed the TPU
         # worker (kernel fault = runtime memory pressure; the slab driver
         # itself validates on-chip at small scale)
-        from nmf_tpu import config as _cfg
-
         _cfg.set_greedycd_cascade(slab_rows=131072)
         g, _ = GreedyCD(maxiter=100)._resolved(np.float32)
         out["greedycd_iters_per_sec"] = round(
@@ -547,6 +543,10 @@ def config6():
         )
     except Exception as e:
         out["greedycd_error"] = repr(e)[:4000]
+    finally:
+        # restore: a later section in the same process (collect_full) must
+        # not silently inherit the overridden slab size
+        _cfg.set_greedycd_cascade(slab_rows=saved_slab)
     return out
 
 

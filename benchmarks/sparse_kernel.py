@@ -62,6 +62,9 @@ def main():
                     help="comma list of quad_tail_nnz values (0=off); an "
                     "entry may be nnz:seg to set the sub-segment width, "
                     "e.g. 16:16 for the octa variant")
+    ap.add_argument("--coo", default="0",
+                    help="comma list of coo_tail_nnz values (0=off): tiles "
+                    "at or below ride the XLA segment-sum dust band")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--small", type=int, default=2)
     args = ap.parse_args()
@@ -151,7 +154,11 @@ def main():
             for g in [int(x) for x in args.groups.split(",")]:
                 for dn in [int(x) for x in args.dense.split(",")]:
                     for span in [int(x) for x in args.spans.split(",")]:
-                        for qspec in args.quads.split(","):
+                        for qspec, coo in [
+                            (q, c)
+                            for q in args.quads.split(",")
+                            for c in [int(x) for x in args.coo.split(",")]
+                        ]:
                             quad, _, qs = qspec.partition(":")
                             quad, qseg = int(quad), int(qs or 32)
                             Xc = build_tiled(
@@ -159,10 +166,17 @@ def main():
                                 layout="compact", group=g,
                                 dense_tile_nnz=dn or None, tail_span=span,
                                 quad_tail_nnz=quad or None, quad_seg=qseg,
+                                coo_tail_nnz=coo or None,
                             )
                             pad = Xc.fwd.vals.size / max(nnz, 1)
                             extra = {"precision": prec, "group": g,
                                      "pad": round(pad, 2), "span": span}
+                            if coo:
+                                extra.update(
+                                    coo_tail_nnz=coo,
+                                    coo_nnz_frac=round(
+                                        Xc.fwd.n_coo / max(nnz, 1), 3),
+                                )
                             if dn:
                                 dnnz = (
                                     int(Xc.fwd.dense_nnz.shape[0])

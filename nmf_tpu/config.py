@@ -29,6 +29,7 @@ floor; "highest" (6-pass) matches CPU convergence.
 from __future__ import annotations
 
 import contextlib
+import os
 
 import jax
 
@@ -47,6 +48,11 @@ __all__ = [
     "enable_compilation_cache",
     "greedycd_cascade",
     "set_greedycd_cascade",
+    "fnnls_cascade",
+    "set_fnnls_cascade",
+    "dispatch_chunk",
+    "set_dispatch_chunk",
+    "dispatch_chunk_scope",
 ]
 
 _use_pallas: bool = False
@@ -70,6 +76,52 @@ def effective_verbose_chunk() -> int:
     if verbose_chunk is not None:
         return verbose_chunk
     return 16 if _on_tpu() else 1
+
+
+#: Max solver iterations per device dispatch for non-verbose solves.
+#: None = unchunked: the whole solve is ONE while_loop dispatch (lowest
+#: overhead; the default).  At capacity scale a single dispatch of more
+#: than ~50-95 s device time crashes the TPU worker over the axon tunnel
+#: (measured, BENCH_full_r04 c6_greedycd rows) — a chunk keeps every
+#: dispatch under that watchdog while producing bit-identical results:
+#: the chunked driver resumes the SAME jitted while_loop body from the
+#: carried solver state (``_solve_while_from``), so the update/stop
+#: sequence is unchanged, only the host re-entry granularity differs.
+#: Also settable via NMF_TPU_DISPATCH_CHUNK (read at import).
+dispatch_chunk: int | None = (
+    int(os.environ["NMF_TPU_DISPATCH_CHUNK"])
+    if os.environ.get("NMF_TPU_DISPATCH_CHUNK")
+    else None
+)
+
+
+def set_dispatch_chunk(value: int | None):
+    """Set the global iterations-per-dispatch cap (None = unchunked)."""
+    global dispatch_chunk
+    if value is not None and (not isinstance(value, int) or value < 1):
+        raise ValueError("dispatch_chunk must be a positive int or None")
+    dispatch_chunk = value
+
+
+class dispatch_chunk_scope:
+    """Scoped override of :data:`dispatch_chunk` (used by
+    ``nnmf(dispatch_chunk=...)``)."""
+
+    def __init__(self, value: int | None):
+        if value is not None and (not isinstance(value, int) or value < 1):
+            raise ValueError("dispatch_chunk must be a positive int or None")
+        self.value = value
+
+    def __enter__(self):
+        global dispatch_chunk
+        self.saved = dispatch_chunk
+        dispatch_chunk = self.value
+        return self
+
+    def __exit__(self, *exc):
+        global dispatch_chunk
+        dispatch_chunk = self.saved
+        return False
 
 #: Per-solver matmul precision applied on TPU when ``matmul_precision`` is
 #: None (auto).  Values are jax precision names; a missing key = backend
@@ -172,11 +224,32 @@ greedycd_cascade: dict[str, int] = {
 #: GreedyCD cascade, over the NNLS right-hand-side columns: ``off_cols`` is
 #: the column count below which the plain masked loop runs uncompacted.
 #: Trace-time constants like the GreedyCD knobs.
+#: FNNLS compaction-cascade schedule — trace-time constants like the
+#: GreedyCD knobs; change via :func:`set_fnnls_cascade` (which clears the
+#: jit caches), never by mutating this dict after a jitted caller traced.
 fnnls_cascade: dict[str, int] = {
     "shrink": _env_int("NMF_TPU_FNNLS_SHRINK", 4, 2),
     "min": _env_int("NMF_TPU_FNNLS_MIN", 256, 1),
     "off_cols": _env_int("NMF_TPU_FNNLS_OFF_COLS", 2048, 1),
 }
+
+
+def set_fnnls_cascade(shrink: int | None = None, min: int | None = None,
+                      off_cols: int | None = None):
+    """Override the FNNLS cascade schedule (None = keep current).  Same
+    trace-time contract as :func:`set_greedycd_cascade`: a change drops the
+    jit caches so already-traced SPA/FNNLS programs retrace with the new
+    schedule instead of silently keeping the old one."""
+    changed = False
+    for key, val in (("shrink", shrink), ("min", min), ("off_cols", off_cols)):
+        if val is not None:
+            if not isinstance(val, int) or val < (2 if key == "shrink" else 1):
+                raise ValueError(f"cascade {key} must be an int >= "
+                                 f"{2 if key == 'shrink' else 1}")
+            changed |= fnnls_cascade[key] != val
+            fnnls_cascade[key] = val
+    if changed:
+        jax.clear_caches()
 
 
 def set_greedycd_cascade(shrink: int | None = None, min: int | None = None,

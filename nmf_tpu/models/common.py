@@ -394,8 +394,17 @@ def renumbered_problem(X, W, H):
     import dataclasses
 
     perms = (X.row_perm, X.row_rank, X.col_perm, X.col_rank)
+    # CSR-order COO coordinates move into the renumbered space too (one
+    # O(nnz) gather per solve): consumers like the jnp sddmm fallback and
+    # col_indices gather factor rows by these, and the factors below are
+    # renumbered.  The CSR *order* of the entries (and hence the values
+    # array and every slot map) is untouched.  Slimmed tilings carry None.
+    coo = {}
+    if getattr(X, "row_idx", None) is not None:
+        coo["row_idx"] = jnp.take(perms[1], X.row_idx)
+        coo["col_idx"] = jnp.take(perms[3], X.col_idx)
     Xr = dataclasses.replace(
-        X, row_perm=None, row_rank=None, col_perm=None, col_rank=None
+        X, row_perm=None, row_rank=None, col_perm=None, col_rank=None, **coo
     )
     # W'[sorted] = W[row_perm[sorted]]; H'[:, sorted] = H[:, col_perm[sorted]]
     return Xr, jnp.take(W, perms[0], axis=0), jnp.take(H, perms[2], axis=1), perms
@@ -432,6 +441,30 @@ def nmf_skeleton(upd, X, W, H, maxiter, verbose, tol, trace: bool = False) -> Re
     return res
 
 
+def _solve_chunked_dispatch(upd, X, W, H, maxiter, tol, chunk: int) -> Result:
+    """Host-driven solve dispatching at most ``chunk`` iterations per device
+    call — the capacity-scale form of the one-call contract
+    (src/interf.jl:3-13): at the config6 slab a single dispatch of >~50-95 s
+    device time crashes the TPU worker, so the monolithic while_loop cannot
+    survive unattended.  Bit-identical to :func:`_solve_while`: each chunk
+    resumes the SAME jitted loop body from the carried solver state via
+    ``_solve_while_from`` (clamping the iteration bound, not changing the
+    body), and the objective runs once on the final factors."""
+    state = _prepare(upd, X, W, H)
+    maxiter_i = int(maxiter)
+    t = 0
+    converged = False
+    while not converged and t < maxiter_i:
+        upto = min(t + chunk, maxiter_i)
+        W, H, state, t_a, conv_a, _ = _solve_while_from(
+            upd, state, X, W, H, t, upto, tol, with_objective=False
+        )
+        t = int(t_a)
+        converged = bool(conv_a)
+    objv = _objective(upd, state, X, W, H)
+    return Result(W, H, t, converged, objv)
+
+
 def _nmf_skeleton_inner(upd, X, W, H, maxiter, verbose, tol, trace) -> Result:
     if trace:
         W, H, t, converged, objv, objv_hist, dev_hist = _solve_while_traced(
@@ -439,6 +472,12 @@ def _nmf_skeleton_inner(upd, X, W, H, maxiter, verbose, tol, trace) -> Result:
         )
         return Result(W, H, t, converged, objv, trace=Trace(objv_hist, dev_hist))
     if not verbose:
+        from .. import config
+
+        if config.dispatch_chunk:
+            return _solve_chunked_dispatch(
+                upd, X, W, H, maxiter, tol, config.dispatch_chunk
+            )
         W, H, t, converged, objv = _solve_while(upd, X, W, H, maxiter, tol)
         return Result(W, H, t, converged, objv)
 

@@ -75,6 +75,7 @@ def nnmf(
     mesh=None,
     parallel_replicates: bool = False,
     trace: bool = False,
+    dispatch_chunk: int | None = None,
 ) -> Result:
     """Non-negative matrix factorization: ``X (p x n) ~ W (p x k) @ H (k x n)``.
 
@@ -160,18 +161,23 @@ def nnmf(
     else:
         raise ValueError("Invalid algorithm.")
 
-    return solve_replicates(
-        alginst,
-        X,
-        W,
-        H,
-        replicates=replicates,
-        initH=initH,
-        key=krep,
-        parallel=parallel_replicates,
-        mesh=mesh,
-        trace=trace,
-    )
+    from .. import config
+
+    with config.dispatch_chunk_scope(
+        dispatch_chunk if dispatch_chunk is not None else config.dispatch_chunk
+    ):
+        return solve_replicates(
+            alginst,
+            X,
+            W,
+            H,
+            replicates=replicates,
+            initH=initH,
+            key=krep,
+            parallel=parallel_replicates,
+            mesh=mesh,
+            trace=trace,
+        )
 
 
 def solve_replicates(

@@ -184,9 +184,11 @@ def _objective(upd: MultUpdate, state, X, W, H):
     return kl_objective(X, W, H)
 
 
-# mse consumes X only through mm/mtm (renumber-equivariant); div's Q
-# refresh speaks the CSR-order value layout, which the stripped tiling
-# cannot serve
+# Both objectives are renumber-equivariant: mse consumes X only through
+# mm/mtm; div's Q refresh speaks the CSR-order VALUE layout (nnz_values /
+# sddmm / with_values), which renumbering never touches — the CSR arrays
+# stay in original (row, col) order and the perm/inv slot maps already
+# target the renumbered tiling.  (A slimmed X drops those maps, but then
+# the div quotient raises renumbered or not — slim() is MSE-only.)
 register_solver(MultUpdate, prepare=_prepare, update=_update,
-                objective=_objective,
-                renumber_safe=lambda upd: upd.obj == "mse")
+                objective=_objective, renumber_safe=True)

@@ -121,6 +121,21 @@ def mtm(D, X):
     return D @ X
 
 
+def _slim_guard(X, attr, op):
+    """Clear error for CSR-order access on a slimmed TiledCSR (slim() drops
+    values/row_idx/col_idx and the refresh maps for MSE capacity solves;
+    without this the caller dies with an obscure AttributeError/TypeError
+    deep inside a jit trace)."""
+    val = getattr(X, attr)
+    if val is None:
+        raise ValueError(
+            f"{op} needs the CSR-order arrays, but this TiledCSR was "
+            "slim()-med (MSE capacity mode drops them); rebuild with "
+            "build_tiled for divergence/per-nnz access"
+        )
+    return val
+
+
 def sddmm(W, H, X):
     """Values of ``(W @ H)`` sampled at X's nonzero positions, aligned with
     ``nnz_values(X)`` (only valid for sparse X).  Flat (nnz,) for single-chip
@@ -137,7 +152,8 @@ def sddmm(W, H, X):
 
             return tiled_sddmm(X, W, H)
         # pure gather-gather-reduce: no scatter involved
-        return jnp.sum(W[X.row_idx, :] * H[:, X.col_idx].T, axis=1)
+        ri = _slim_guard(X, "row_idx", "sddmm")
+        return jnp.sum(W[ri, :] * H[:, X.col_idx].T, axis=1)
     Xb = _as_bcoo(X)
     return jsparse.bcoo_dot_general_sampled(
         W, H, Xb.indices, dimension_numbers=(((1,), (0,)), ((), ()))
@@ -162,7 +178,7 @@ def nnz_values(X):
 
         return sharded_nnz_values(X)
     if is_tiled(X):
-        return X.values
+        return _slim_guard(X, "values", "nnz_values")
     return _as_bcoo(X).data
 
 
@@ -199,7 +215,9 @@ def colsums(X):
 
         return sharded_colsums(X)
     if is_tiled(X):
-        return jnp.zeros((X.shape[1],), X.dtype).at[X.col_idx].add(X.values)
+        return jnp.zeros((X.shape[1],), X.dtype).at[
+            _slim_guard(X, "col_idx", "colsums")
+        ].add(X.values)
     if is_sparse(X):
         return jsparse.bcoo_reduce_sum(_as_bcoo(X), axes=(0,)).todense()
     return jnp.sum(X, axis=0)
@@ -212,7 +230,9 @@ def rowsums(X):
 
         return sharded_rowsums(X)
     if is_tiled(X):
-        return jnp.zeros((X.shape[0],), X.dtype).at[X.row_idx].add(X.values)
+        return jnp.zeros((X.shape[0],), X.dtype).at[
+            _slim_guard(X, "row_idx", "rowsums")
+        ].add(X.values)
     if is_sparse(X):
         return jsparse.bcoo_reduce_sum(_as_bcoo(X), axes=(1,)).todense()
     return jnp.sum(X, axis=1)
@@ -246,5 +266,5 @@ def col_indices(X):
 
         return sharded_col_ids(X)
     if is_tiled(X):
-        return X.col_idx
+        return _slim_guard(X, "col_idx", "col_indices")
     return _as_bcoo(X).indices[:, 1]

@@ -49,6 +49,19 @@ from ..sparse_format import TILE, TiledCSR, TiledSideC
 __all__ = ["tiled_matmul_t", "tiled_mm", "tiled_mtm", "tiled_sddmm"]
 
 
+def _rp_bits_for(stripe_tiles: int, n_entries: int) -> int:
+    """rp encoding for ``n_entries`` per-chunk (or per-sub-segment) row
+    panels: byte lanes while the operand is comfortably inside the 1 MB
+    SMEM scalar-prefetch budget, the 5-bit x 6/word encoding beyond.  The
+    5-bit unpack costs one scalar div/mod + dynamic shift per read — free
+    under the span-16 north-star chunks it was built for, but measured
+    -32% on a small quad store (601 vs 882 Mnnz/s, 40k x 20k powerlaw) —
+    so it is applied only when the byte form would not fit."""
+    if stripe_tiles > 32:
+        return 8
+    return 5 if n_entries > 512 * 1024 else 8
+
+
 def _resolve_precision(precision: str) -> str:
     if precision in ("highest", "exact"):
         return "exact"
@@ -143,11 +156,25 @@ def _win_bits(n_stripes, n_colpanels):
     to the stripe field's all-ones value, which is never a real stripe id
     (``2**bit_length(n) > n``), so the flush-boundary compare still fires —
     no sign handling needed.  Falls back to the 32-bit stripe<<16|panel
-    form when the ids are too wide."""
+    form when the ids are too wide — whose fields are hard limits: panel
+    ids are masked to 16 bits and the stripe rides the upper half of a
+    SIGNED int32 (the sentinel needs the arithmetic >> 16), so silently
+    exceeding either would gather the wrong D panel with no error."""
     sb = max(int(n_stripes).bit_length(), 1)
     pb = max(int(n_colpanels).bit_length(), 1)
     if sb + pb <= 16:
         return 16, pb
+    if pb > 16:
+        raise ValueError(
+            f"n_colpanels={n_colpanels} exceeds the 16-bit panel field of "
+            "the packed window word (> ~8.4M columns per side at span 1); "
+            "shard the matrix or widen tail_span"
+        )
+    if sb > 15:
+        raise ValueError(
+            f"n_stripes={n_stripes} exceeds the 15-bit stripe field of the "
+            "packed window word; raise stripe_tiles or shard the matrix"
+        )
     return 32, 16
 
 
@@ -267,7 +294,7 @@ def _tiled_matmul_compact_impl(
     (n_stripes, n_colpanels, n_windows, G, stripe_width, p_pad, span) = meta
     K = Dt.shape[0]
     prec = _resolve_precision(precision)
-    rp_bits = 5 if stripe_width // TILE <= 32 else 8
+    rp_bits = _rp_bits_for(stripe_width // TILE, n_windows * G)
     wbits, pbits = _win_bits(n_stripes, n_colpanels)
     kernel = _make_kernel_compact(G, stripe_width, K, prec, span, rp_bits,
                                   wbits, pbits)
@@ -371,29 +398,57 @@ def tiled_matmul_t(side, D, *, interpret: bool = False, precision: str = "highes
             jnp.asarray(side.qvals, jnp.float32),
             Dt,
             (side.n_qchunks // QUAD_GROUP, QUAD_GROUP, stripe_width,
-             p_pad, side.quad_seg),
+             p_pad, side.quad_seg, side.n_stripes,
+             side.n_colpanels * side.span),
             interpret,
             precision,
         )
-    return out[:k, :p].T
+    res = out[:k, :p].T
+    if getattr(side, "n_coo", 0):
+        res = res + _coo_matmul(side, D)
+    return res
 
 
-def _make_quad_kernel(QG, stripe_width, K, precision: str, seg_size=32):
+def _coo_matmul(side, D):
+    """The COO dust band's ``X_band @ D`` via XLA's sorted segment-sum — at
+    <= coo_tail_nnz nonzeros per 128x128 tile any chunk scheme pads 10-128x,
+    while this streams exactly nnz * k values (~50-65 Mnnz/s measured at the
+    config6 dust band vs an ~8 Mnnz/s nnz-equivalent on the retired span-16
+    path it replaces)."""
+    contrib = side.coo_vals[:, None] * jnp.take(
+        jnp.asarray(D, jnp.float32), side.coo_cols, axis=0
+    )
+    return jax.ops.segment_sum(
+        contrib, side.coo_rows, num_segments=side.rows, indices_are_sorted=True
+    )
+
+
+def _read_rp_flat(rp_ref, c, rp_bits):
+    """Row panel of flat sub-segment index ``c`` out of packed words: byte
+    lanes (8-bit) or the 5-bit x 6/word SMEM-budget encoding — the quad
+    analogue of ``_read_rp`` (c is dynamic either way here, so both modes
+    pay one scalar div/mod)."""
+    if rp_bits == 8:
+        return (rp_ref[c // 4] >> (8 * (c % 4))) & 0xFF
+    return (rp_ref[c // 6] >> (5 * (c % 6))) & 0x1F
+
+
+def _make_quad_kernel(QG, stripe_width, K, precision: str, seg_size=32,
+                      rp_bits=8, wbits=32, pbits=16):
     """Quad-tail chunks: TILE//seg_size small tiles share one 128-slot chunk
     (fixed seg_size-slot sub-segments; same stripe + col panel, one row
     panel each).  One lane gather + one bf16 split serve all sub-segments;
     each sub-segment gets its own masked one-hot MXU scatter into its row
-    panel.  Per-chunk metadata is (TILE//seg_size)//4 packed int32 words
-    (one rp byte per sub-segment) — the tail experiments of
+    panel.  Per-chunk metadata is one rp per sub-segment (packed words, see
+    ``_read_rp_flat``) — the tail experiments of
     docs/sparse_kernel_design.md round 3 (seg 32 = quad, seg 16 = octa)."""
     nseg = TILE // seg_size
-    nwords = nseg // 4
 
-    def kernel(win_panel, win_stripe, rp_ref, lrows_ref, lcols_ref, vals_ref,
+    def kernel(win_meta, rp_ref, lrows_ref, lcols_ref, vals_ref,
                dt_ref, out_hbm, acc_ref, copy_sem):
         i = pl.program_id(0)
-        s = win_stripe[i]
-        prev = win_stripe[jnp.maximum(i - 1, 0)]
+        s, _ = _read_win(win_meta, i, wbits, pbits)
+        prev, _ = _read_win(win_meta, jnp.maximum(i - 1, 0), wbits, pbits)
 
         @pl.when(jnp.logical_or(i == 0, prev != s))
         def _():
@@ -411,14 +466,15 @@ def _make_quad_kernel(QG, stripe_width, K, precision: str, seg_size=32):
             parts = _split_bf16(scaled, precision)
             eq = lrow[:, None] == rr
             for si in range(nseg):
-                w = rp_ref[(i * QG + t) * nwords + si // 4]
-                rp = (w >> (8 * (si % 4))) & 0xFF
+                rp = _read_rp_flat(rp_ref, (i * QG + t) * nseg + si, rp_bits)
                 onehot = (eq & (seg == si)).astype(jnp.bfloat16)
                 contrib = _dot_parts(parts, onehot)
                 off = pl.multiple_of(rp * TILE, TILE)
                 acc_ref[:, pl.ds(off, TILE)] += contrib
 
-        @pl.when(win_stripe[i + 1] != s)
+        nxt, _ = _read_win(win_meta, i + 1, wbits, pbits)
+
+        @pl.when(nxt != s)
         def _():
             copy = pltpu.make_async_copy(
                 acc_ref,
@@ -438,24 +494,37 @@ def _tiled_quad_impl(
 ):
     (nwin_q, QG, stripe_width, p_pad) = meta[:4]
     seg_size = meta[4] if len(meta) > 4 else 32
+    n_stripes = meta[5] if len(meta) > 5 else 1 << 14
+    n_colpanels = meta[6] if len(meta) > 6 else 1 << 15
     K = Dt.shape[0]
     prec = _resolve_precision(precision)
-    kernel = _make_quad_kernel(QG, stripe_width, K, prec, seg_size)
+    rp_bits = _rp_bits_for(stripe_width // TILE,
+                           nwin_q * QG * (TILE // seg_size))
+    wbits, pbits = _win_bits(n_stripes, n_colpanels)
+    kernel = _make_quad_kernel(QG, stripe_width, K, prec, seg_size, rp_bits,
+                               wbits, pbits)
+    rp_packed, win_meta = _pack_scalar_meta(
+        q_rp, qwin_panel, qwin_stripe, QG, rp_bits, wbits, pbits
+    )
+
+    def dpanel(i, wm, rp):
+        return (0, _read_win(wm, i, wbits, pbits)[1])
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(nwin_q,),
         in_specs=[
             pl.BlockSpec(
-                (QG, TILE), lambda i, wp, ws, rp: (i, 0), memory_space=pltpu.VMEM
+                (QG, TILE), lambda i, wm, rp: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (QG, TILE), lambda i, wp, ws, rp: (i, 0), memory_space=pltpu.VMEM
+                (QG, TILE), lambda i, wm, rp: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (QG, TILE), lambda i, wp, ws, rp: (i, 0), memory_space=pltpu.VMEM
+                (QG, TILE), lambda i, wm, rp: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (K, TILE), lambda i, wp, ws, rp: (0, wp[i]),
+                (K, TILE), dpanel,
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -476,7 +545,7 @@ def _tiled_quad_impl(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(qwin_panel, qwin_stripe, q_rp.reshape(-1), qlrows, qlcols, qvals, Dt)
+    )(win_meta, rp_packed, qlrows, qlcols, qvals, Dt)
 
 
 def _make_dense_kernel(G, stripe_width, K):
@@ -632,7 +701,7 @@ def _tiled_sddmm_compact_impl(
 ):
     (n_windows, G, stripe_width, span, n_stripes, n_colpanels) = meta
     K = Wt.shape[0]
-    rp_bits = 5 if stripe_width // TILE <= 32 else 8
+    rp_bits = _rp_bits_for(stripe_width // TILE, n_windows * G)
     wbits, pbits = _win_bits(n_stripes, n_colpanels)
     kernel = _make_sddmm_kernel_compact(G, K, span, rp_bits, wbits, pbits)
     rp_packed, win_meta = _pack_scalar_meta(
@@ -679,14 +748,13 @@ def _tiled_sddmm_compact_impl(
     )(win_meta, rp_packed, coords, Wt, Ht)
 
 
-def _make_sddmm_quad_kernel(QG, K, seg_size=32):
+def _make_sddmm_quad_kernel(QG, K, seg_size=32, rp_bits=8, wbits=32, pbits=16):
     """SDDMM over quad-tail chunks: the H-column gather is shared across the
     sub-segments; the W-row gather runs per sub-segment (each has its own
     row panel) and is lane-selected into place."""
     nseg = TILE // seg_size
-    nwords = nseg // 4
 
-    def kernel(win_panel, win_stripe, rp_ref, lrows_ref, lcols_ref, wt_ref,
+    def kernel(win_meta, rp_ref, lrows_ref, lcols_ref, wt_ref,
                ht_ref, out_ref):
         i = pl.program_id(0)
         hblk = ht_ref[:]  # (K, TILE)
@@ -697,8 +765,7 @@ def _make_sddmm_quad_kernel(QG, K, seg_size=32):
             hg = jnp.take_along_axis(hblk, idxc, axis=1)
             wg = jnp.zeros((K, TILE), jnp.float32)
             for si in range(nseg):
-                w = rp_ref[(i * QG + t) * nwords + si // 4]
-                rp = (w >> (8 * (si % 4))) & 0xFF
+                rp = _read_rp_flat(rp_ref, (i * QG + t) * nseg + si, rp_bits)
                 off = pl.multiple_of(rp * TILE, TILE)
                 wblk = wt_ref[:, pl.ds(off, TILE)]
                 wg_si = jnp.take_along_axis(wblk, idxr, axis=1)
@@ -714,30 +781,45 @@ def _tiled_sddmm_quad_impl(
 ):
     (nwin_q, QG, stripe_width) = meta[:3]
     seg_size = meta[3] if len(meta) > 3 else 32
+    n_stripes = meta[4] if len(meta) > 4 else 1 << 14
+    n_colpanels = meta[5] if len(meta) > 5 else 1 << 15
     K = Wt.shape[0]
-    kernel = _make_sddmm_quad_kernel(QG, K, seg_size)
+    rp_bits = _rp_bits_for(stripe_width // TILE,
+                           nwin_q * QG * (TILE // seg_size))
+    wbits, pbits = _win_bits(n_stripes, n_colpanels)
+    kernel = _make_sddmm_quad_kernel(QG, K, seg_size, rp_bits, wbits, pbits)
+    rp_packed, win_meta = _pack_scalar_meta(
+        q_rp, qwin_panel, qwin_stripe, QG, rp_bits, wbits, pbits
+    )
+
+    def wstripe(i, wm, rp):
+        return (0, _read_win(wm, i, wbits, pbits)[0])
+
+    def dpanel(i, wm, rp):
+        return (0, _read_win(wm, i, wbits, pbits)[1])
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(nwin_q,),
         in_specs=[
             pl.BlockSpec(
-                (QG, TILE), lambda i, wp, ws, rp: (i, 0), memory_space=pltpu.VMEM
+                (QG, TILE), lambda i, wm, rp: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (QG, TILE), lambda i, wp, ws, rp: (i, 0), memory_space=pltpu.VMEM
+                (QG, TILE), lambda i, wm, rp: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (K, stripe_width),
-                lambda i, wp, ws, rp: (0, ws[i]),
+                wstripe,
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (K, TILE), lambda i, wp, ws, rp: (0, wp[i]),
+                (K, TILE), dpanel,
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (QG, TILE), lambda i, wp, ws, rp: (i, 0), memory_space=pltpu.VMEM
+            (QG, TILE), lambda i, wm, rp: (i, 0), memory_space=pltpu.VMEM
         ),
     )
     return pl.pallas_call(
@@ -750,7 +832,7 @@ def _tiled_sddmm_quad_impl(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(qwin_panel, qwin_stripe, q_rp.reshape(-1), qlrows, qlcols, Wt, Ht)
+    )(win_meta, rp_packed, qlrows, qlcols, Wt, Ht)
 
 
 def tiled_sddmm(X: TiledCSR, W, H, *, interpret: bool = False):
@@ -790,10 +872,18 @@ def tiled_sddmm(X: TiledCSR, W, H, *, interpret: bool = False):
             side.q_rp, side.qwin_panel, side.qwin_stripe, side.qlrows,
             side.qlcols, Wt, Ht,
             (side.n_qchunks // QUAD_GROUP, QUAD_GROUP, stripe_width,
-             getattr(side, "quad_seg", 32)),
+             getattr(side, "quad_seg", 32), side.n_stripes,
+             side.n_colpanels * side.span),
             interpret,
         )
         flat = jnp.concatenate([flat, qout.reshape(-1)])
+    if getattr(side, "n_coo", 0):
+        csamp = jnp.sum(
+            jnp.take(jnp.asarray(W, jnp.float32), side.coo_rows, axis=0)
+            * jnp.take(jnp.asarray(H, jnp.float32), side.coo_cols, axis=1).T,
+            axis=1,
+        )
+        flat = jnp.concatenate([flat, csamp])
     return jnp.take(flat, side.perm).astype(W.dtype)
 
 

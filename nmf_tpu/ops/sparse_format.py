@@ -126,6 +126,19 @@ class TiledSideC:
     # O(ndblk*TILE^2) element space: dvals.flat[dense_slot] = new[dense_nnz]
     dense_nnz: jax.Array | None = data_field(default=None)  # (nnz_dense,) int32
     dense_slot: jax.Array | None = data_field(default=None)  # (nnz_dense,)
+    # COO dust band (round 5): tiles with <= coo_tail_nnz nonzeros skip the
+    # tile machinery entirely and ride XLA's sorted segment-sum.  At the
+    # config6 scale the sub-4-nnz tiles are ~1.4M tiles holding 3.7% of the
+    # nnz — ANY chunk scheme pads them 10-128x and the retired span-16 wide
+    # tiles spent ~16 lane-gathers per 128 slots on them; the pure-XLA band
+    # streams exactly nnz*k values.  Coordinates are in tiling (renumbered)
+    # space, sorted by this side's row for segment_sum.
+    coo_rows: jax.Array | None = data_field(default=None)  # (n_coo,) int32
+    coo_cols: jax.Array | None = data_field(default=None)  # (n_coo,) int32
+    coo_vals: jax.Array | None = data_field(default=None)  # (n_coo,) f32
+    # CSR-order nnz id per band entry (refresh map, like dense_nnz)
+    coo_nnz: jax.Array | None = data_field(default=None)
+    n_coo: int = static_field(default=0)
 
 
 @jax.tree_util.register_dataclass
@@ -146,10 +159,11 @@ class TiledCSR:
     col_perm: jax.Array | None = data_field(default=None)
     col_rank: jax.Array | None = data_field(default=None)
     shape: tuple[int, int] = static_field(default=(0, 0))
-    # (stripe_tiles, layout, group, dense_tile_nnz, quad_tail_nnz, quad_seg)
-    # the matrix was built with — lets shard_problem rebuild an equivalent
-    # ShardedTiled (shard_problem unpacks positionally; keep in sync with
-    # build_tiled's constructor call)
+    # (stripe_tiles, layout, group, dense_tile_nnz, quad_tail_nnz, quad_seg,
+    # coo_tail_nnz) the matrix was built with — lets shard_problem rebuild an
+    # equivalent ShardedTiled.  parallel/sharding.py unpacks this
+    # positionally with a *rest tail (older pickles carry shorter tuples);
+    # APPEND new knobs at the end, never reorder.
     build_opts: tuple | None = static_field(default=None)
     # (sum, sum of squares, min) of the values, mirroring ShardedTiled's
     # convention: lets sq_norm/total_sum/all_nonneg (the MSE objective and
@@ -179,7 +193,7 @@ class TiledCSR:
         ``with_values``/``tiled_sddmm`` (the divergence path) raise on a
         slimmed instance; rebuild with ``build_tiled`` for those."""
         strip = dict(perm=None, inv=None, qinv=None, dense_nnz=None,
-                     dense_slot=None)
+                     dense_slot=None, coo_nnz=None)
         return dataclasses.replace(
             self,
             fwd=dataclasses.replace(self.fwd, **strip),
@@ -203,7 +217,7 @@ class TiledCSR:
             # fall through to a mis-sized reshape.
             if side.inv is None or side.inv.size != side.vals.size or (
                 side.n_dblocks and side.dense_nnz is None
-            ):
+            ) or (side.n_coo and side.coo_nnz is None):
                 raise ValueError(
                     "TiledSideC with a legacy full-slot-space inv (or "
                     "missing dense refresh maps) — rebuild the tiling "
@@ -226,6 +240,8 @@ class TiledCSR:
                 kw["qvals"] = jnp.take(
                     new_values, side.qinv, mode="fill", fill_value=0
                 ).reshape(side.qvals.shape)
+            if side.n_coo:
+                kw["coo_vals"] = new_values[side.coo_nnz].astype(jnp.float32)
             return dataclasses.replace(side, **kw)
 
         v32 = new_values.astype(jnp.float32)
@@ -254,7 +270,7 @@ class TiledCSR:
 
 def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
                         dense_thresh=None, tail_span=1, quad_tail_nnz=None,
-                        quad_seg=32):
+                        quad_seg=32, coo_tail_nnz=None):
     """Bin (row, col, val) into the compact chunk layout for one orientation.
 
     ``dense_thresh``: tiles with at least this many nonzeros are stored as
@@ -278,6 +294,11 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
             raise ValueError("quad_tail_nnz requires tail_span == 1")
         if not (1 <= quad_tail_nnz <= quad_seg):
             raise ValueError(f"quad_tail_nnz must be in [1, {quad_seg}]")
+    if coo_tail_nnz is not None:
+        if coo_tail_nnz < 1:
+            raise ValueError("coo_tail_nnz must be >= 1")
+        if dense_thresh and coo_tail_nnz >= dense_thresh:
+            raise ValueError("coo_tail_nnz must be < dense_tile_nnz")
     if group % 8:
         raise ValueError(f"group must be a multiple of 8 (sublane tiling), got {group}")
     n_rowpanels = -(-p // TILE)
@@ -312,8 +333,12 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
         tile_dense = counts_all >= dense_thresh
     else:
         tile_dense = np.zeros(len(tiles_all), bool)
+    if coo_tail_nnz and len(tiles_all):
+        tile_coo = (~tile_dense) & (counts_all <= coo_tail_nnz)
+    else:
+        tile_coo = np.zeros(len(tiles_all), bool)
     if quad_tail_nnz and len(tiles_all):
-        tile_quad = (~tile_dense) & (counts_all <= quad_tail_nnz)
+        tile_quad = (~tile_dense) & (~tile_coo) & (counts_all <= quad_tail_nnz)
     else:
         tile_quad = np.zeros(len(tiles_all), bool)
     nnz_tile = (
@@ -323,12 +348,13 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
     )
     is_dense = tile_dense[nnz_tile] if len(tiles_all) else np.zeros(0, bool)
     is_quad = tile_quad[nnz_tile] if len(tiles_all) else np.zeros(0, bool)
+    is_coo = tile_coo[nnz_tile] if len(tiles_all) else np.zeros(0, bool)
     slot_sorted = np.empty(len(akey), np.int64)
 
     span = tail_span
     cwidth = TILE * span
     n_cpanels = -(-n // cwidth)
-    sp = ~is_dense & ~is_quad
+    sp = ~is_dense & ~is_quad & ~is_coo
     s_rows, s_cols, s_vals = a_rows[sp], a_cols[sp], a_vals[sp]
     if span > 1:
         # re-sort the residual by the coarse (stripe, wide panel, rp) key
@@ -546,6 +572,22 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
         nq = 0
         qvals = qlrows = qlcols = q_rp = qwin_panel = qwin_stripe = None
 
+    # ---- COO dust band (tiles <= coo_tail_nnz): XLA segment-sum path ----
+    n_coo = int(is_coo.sum())
+    if n_coo:
+        c_rows = a_rows[is_coo]
+        c_cols = a_cols[is_coo]
+        oc = stable_argsort(c_rows.astype(np.int64) * n + c_cols)
+        coo_rows = c_rows[oc].astype(np.int32)
+        coo_cols = c_cols[oc].astype(np.int32)
+        coo_vals = a_vals[is_coo][oc].astype(np.float32)
+        cobase = nchunk_slots + ndblk * TILE * TILE + nq * TILE
+        pos = np.empty(n_coo, np.int64)
+        pos[oc] = np.arange(n_coo)
+        slot_sorted[is_coo] = cobase + pos
+    else:
+        coo_rows = coo_cols = coo_vals = None
+
     perm = np.empty(len(akey), np.int64)
     perm[order] = slot_sorted
     # per-region refresh maps (see the dataclass comments): chunk/quad slots
@@ -557,12 +599,19 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
     inv = np.full(nchunk_slots, nnz_total, idt)
     inv[perm[cmask]] = csr_ids[cmask]
     qbase = nchunk_slots + ndblk * TILE * TILE
+    cobase = qbase + nq * TILE
     if nq:
-        qmask = perm >= qbase
+        qmask = (perm >= qbase) & (perm < cobase)
         qinv = np.full(nq * TILE, nnz_total, idt)
         qinv[perm[qmask] - nchunk_slots - ndblk * TILE * TILE] = csr_ids[qmask]
     else:
         qinv = None
+    if n_coo:
+        comask = perm >= cobase
+        coo_ids = np.empty(n_coo, idt)
+        coo_ids[perm[comask] - cobase] = csr_ids[comask]
+    else:
+        coo_ids = None
     if ndblk:
         dmask = (~cmask) & (perm < qbase)
         dense_nnz = csr_ids[dmask]
@@ -619,6 +668,11 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
         qinv=asarray(qinv),
         dense_nnz=asarray(dense_nnz),
         dense_slot=asarray(dense_slot),
+        coo_rows=asarray(coo_rows),
+        coo_cols=asarray(coo_cols),
+        coo_vals=asarray(coo_vals),
+        coo_nnz=asarray(coo_ids),
+        n_coo=n_coo,
     )
 
 
@@ -626,6 +680,7 @@ def build_tiled(
     rows, cols, vals, shape, *, stripe_tiles: int = 32, layout: str = "compact",
     group: int = 16, order: str = "degree", dense_tile_nnz: int | None = None,
     tail_span: int = 1, quad_tail_nnz: int | None = None, quad_seg: int = 32,
+    coo_tail_nnz: int | None = None,
 ) -> TiledCSR:
     """Build both tiling orientations from COO data (deduped).
 
@@ -674,11 +729,11 @@ def build_tiled(
         )
     fwd = _build_side_compact(
         rows_t, cols_t, vals, p, n, stripe_tiles, group, dense_tile_nnz,
-        tail_span, quad_tail_nnz, quad_seg,
+        tail_span, quad_tail_nnz, quad_seg, coo_tail_nnz,
     )
     bwd = _build_side_compact(
         cols_t, rows_t, vals, n, p, stripe_tiles, group, dense_tile_nnz,
-        tail_span, quad_tail_nnz, quad_seg,
+        tail_span, quad_tail_nnz, quad_seg, coo_tail_nnz,
     )
     asarray = lambda a: None if a is None else jnp.asarray(a)
     stats = np.asarray(
@@ -700,7 +755,8 @@ def build_tiled(
         asarray(col_perm),
         asarray(col_rank),
         (p, n),
-        (stripe_tiles, layout, group, dense_tile_nnz, quad_tail_nnz, quad_seg),
+        (stripe_tiles, layout, group, dense_tile_nnz, quad_tail_nnz, quad_seg,
+         coo_tail_nnz),
         stats=jnp.asarray(stats),
     )
 
@@ -709,11 +765,12 @@ def from_bcoo(X, *, stripe_tiles: int = 32, layout: str = "compact",
               group: int = 16, order: str = "degree",
               dense_tile_nnz: int | None = None, tail_span: int = 1,
               quad_tail_nnz: int | None = None,
-              quad_seg: int = 32) -> TiledCSR:
+              quad_seg: int = 32, coo_tail_nnz: int | None = None) -> TiledCSR:
     idx = np.asarray(X.indices)
     return build_tiled(
         idx[:, 0], idx[:, 1], np.asarray(X.data), X.shape,
         stripe_tiles=stripe_tiles, layout=layout, group=group, order=order,
         dense_tile_nnz=dense_tile_nnz, tail_span=tail_span,
         quad_tail_nnz=quad_tail_nnz, quad_seg=quad_seg,
+        coo_tail_nnz=coo_tail_nnz,
     )

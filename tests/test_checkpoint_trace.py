@@ -100,3 +100,50 @@ def test_trace_through_nnmf():
     res = nmf_tpu.nnmf(X, 3, alg="cd", init="random", maxiter=15, trace=True)
     assert res.trace is not None
     assert np.isfinite(np.asarray(res.trace.objvalue)[: res.niters]).all()
+
+
+@pytest.mark.parametrize(
+    "alg",
+    [
+        nmf_tpu.MultUpdate(obj="div", maxiter=29, tol=1e-9),
+        nmf_tpu.GreedyCD(maxiter=19, tol=1e-9),
+        nmf_tpu.CoordinateDescent(maxiter=23, tol=1e-9, shuffle=True),
+        nmf_tpu.ALSPGrad(maxiter=17, tol=1e-9),
+    ],
+    ids=lambda a: type(a).__name__,
+)
+def test_chunked_dispatch_equals_monolithic(alg):
+    """config.dispatch_chunk (the capacity-scale <=N-iters-per-dispatch
+    driver) must be bit-identical to the one-while_loop solve — it resumes
+    the same jitted body from the carried state."""
+    from nmf_tpu import config
+
+    X, W, H = make_problem()
+    plain = nmf_tpu.solve(alg, X, W, H)
+    config.set_dispatch_chunk(5)
+    try:
+        chunked = nmf_tpu.solve(alg, X, W, H)
+    finally:
+        config.set_dispatch_chunk(None)
+    assert chunked.niters == plain.niters
+    assert chunked.converged == plain.converged
+    np.testing.assert_array_equal(np.asarray(chunked.W), np.asarray(plain.W))
+    np.testing.assert_array_equal(np.asarray(chunked.H), np.asarray(plain.H))
+    assert chunked.objvalue == plain.objvalue
+
+
+def test_nnmf_dispatch_chunk_param():
+    """nnmf(dispatch_chunk=) scopes the config knob and restores it."""
+    from nmf_tpu import config
+
+    X, _, _ = make_problem()
+    Xa = jnp.abs(X)
+    r1 = nmf_tpu.nnmf(Xa, 3, alg="cd", init="random", seed=1, maxiter=12)
+    assert config.dispatch_chunk is None
+    r2 = nmf_tpu.nnmf(
+        Xa, 3, alg="cd", init="random", seed=1, maxiter=12, dispatch_chunk=4
+    )
+    assert config.dispatch_chunk is None
+    assert r1.niters == r2.niters
+    np.testing.assert_array_equal(np.asarray(r1.W), np.asarray(r2.W))
+    assert r1.objvalue == r2.objvalue

@@ -455,10 +455,113 @@ def test_renumbered_solve_matches_natural():
             np.asarray(a.W), np.asarray(b.W), rtol=2e-4, atol=2e-5
         )
         assert np.isclose(a.objvalue, b.objvalue, rtol=1e-4)
-    # the KL solver (CSR-order value refreshes) must keep the gather path
+    # the KL solver runs renumbered too (round 5): its CSR-order value
+    # refreshes are order-independent of the tiling's coordinate space
     kl = nmf_tpu.MultUpdate(obj="div", maxiter=4, tol=1e-30)
+    from nmf_tpu.models.common import _renumber_ok
+
+    assert _renumber_ok(kl, Xdeg)
     a = nmf_tpu.solve(kl, Xdeg, W0, H0)
     b = nmf_tpu.solve(kl, Xnat, W0, H0)
     np.testing.assert_allclose(
         np.asarray(a.W), np.asarray(b.W), rtol=2e-3, atol=2e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 COO dust band (coo_tail_nnz)
+
+
+def _powerlaw_coo(seed=11, p=700, n=520, nnz=24000):
+    rng = np.random.default_rng(seed)
+    r = np.minimum((rng.pareto(1.2, nnz) * p / 50), p - 1).astype(np.int64)
+    c = np.minimum((rng.pareto(1.2, nnz) * n / 50), n - 1).astype(np.int64)
+    key = np.unique(r * n + c)
+    r, c = (key // n).astype(np.int32), (key % n).astype(np.int32)
+    v = rng.random(len(r)).astype(np.float32)
+    Xd = np.zeros((p, n), np.float32)
+    Xd[r, c] = v
+    return Xd, r, c, v, rng
+
+
+@pytest.mark.parametrize(
+    "opts",
+    [
+        dict(dense_tile_nnz=64, quad_tail_nnz=32, coo_tail_nnz=3),
+        dict(coo_tail_nnz=2),
+        dict(dense_tile_nnz=48, coo_tail_nnz=5, order="natural"),
+        dict(dense_tile_nnz=64, quad_tail_nnz=16, quad_seg=16, coo_tail_nnz=3),
+        dict(coo_tail_nnz=1000000),  # everything below dense -> COO band
+    ],
+    ids=["four-class", "coo-only-knob", "natural", "octa", "all-coo"],
+)
+def test_coo_band_matches_dense(opts):
+    """Tiles at or below coo_tail_nnz ride the XLA segment-sum band; every
+    product and the value-refresh path must match the dense reference."""
+    from nmf_tpu.ops.pallas.sparse import tiled_mm, tiled_mtm, tiled_sddmm
+
+    Xd, r, c, v, rng = _powerlaw_coo()
+    p, n = Xd.shape
+    k = 9
+    X = build_tiled(r, c, v, (p, n), **opts)
+    assert X.fwd.n_coo > 0 and X.bwd.n_coo > 0
+    D = jnp.asarray(rng.random((n, k)).astype(np.float32))
+    E = jnp.asarray(rng.random((p, k)).astype(np.float32))
+    W = jnp.asarray(rng.random((p, k)).astype(np.float32))
+    H = jnp.asarray(rng.random((k, n)).astype(np.float32))
+    scale = np.abs(Xd).sum()
+    np.testing.assert_allclose(
+        np.asarray(tiled_mm(X, D)), Xd @ np.asarray(D),
+        rtol=1e-5, atol=1e-6 * scale)
+    np.testing.assert_allclose(
+        np.asarray(tiled_mtm(X, E)), Xd.T @ np.asarray(E),
+        rtol=1e-5, atol=1e-6 * scale)
+    np.testing.assert_allclose(
+        np.asarray(tiled_sddmm(X, W, H)),
+        (np.asarray(W) @ np.asarray(H))[r, c], rtol=1e-5, atol=1e-5)
+    # value refresh covers the COO region
+    X2 = X.with_values(jnp.asarray(v * 3))
+    np.testing.assert_allclose(
+        np.asarray(tiled_mm(X2, D)), 3 * (Xd @ np.asarray(D)),
+        rtol=1e-5, atol=3e-6 * scale)
+
+
+def test_coo_band_slim_solve_and_renumber():
+    """slim() keeps the COO band operands (kernels need them) while
+    dropping its refresh map; a renumbered MSE solve over the slimmed
+    four-class store matches the unslimmed natural-order solve."""
+    Xd, r, c, v, rng = _powerlaw_coo(seed=12)
+    p, n = Xd.shape
+    k = 6
+    Xs = build_tiled(
+        r, c, v, (p, n), dense_tile_nnz=64, coo_tail_nnz=4
+    ).slim()
+    assert Xs.fwd.coo_vals is not None and Xs.fwd.coo_nnz is None
+    Xnat = build_tiled(r, c, v, (p, n), order="natural", coo_tail_nnz=4)
+    W0 = jnp.asarray(rng.random((p, k)).astype(np.float32))
+    H0 = jnp.asarray(rng.random((k, n)).astype(np.float32))
+    alg = nmf_tpu.CoordinateDescent(maxiter=5, tol=1e-30)
+    a = nmf_tpu.solve(alg, Xs, W0, H0)
+    b = nmf_tpu.solve(alg, Xnat, W0, H0)
+    assert a.niters == b.niters
+    np.testing.assert_allclose(
+        np.asarray(a.W), np.asarray(b.W), rtol=2e-4, atol=2e-5)
+    assert np.isclose(a.objvalue, b.objvalue, rtol=1e-4)
+
+
+def test_coo_band_kl_solve_matches():
+    """MU-div (sddmm + scale_values each iteration) over a four-class store
+    with a COO band matches the no-band tiling."""
+    Xd, r, c, v, rng = _powerlaw_coo(seed=13)
+    p, n = Xd.shape
+    k = 5
+    Xc = build_tiled(r, c, v, (p, n), dense_tile_nnz=64, coo_tail_nnz=4)
+    Xp = build_tiled(r, c, v, (p, n), dense_tile_nnz=64)
+    W0 = jnp.asarray(rng.random((p, k)).astype(np.float32))
+    H0 = jnp.asarray(rng.random((k, n)).astype(np.float32))
+    alg = nmf_tpu.MultUpdate(obj="div", maxiter=4, tol=1e-30)
+    a = nmf_tpu.solve(alg, Xc, W0, H0)
+    b = nmf_tpu.solve(alg, Xp, W0, H0)
+    np.testing.assert_allclose(
+        np.asarray(a.W), np.asarray(b.W), rtol=2e-3, atol=2e-4)
+    assert np.isclose(a.objvalue, b.objvalue, rtol=1e-3)
