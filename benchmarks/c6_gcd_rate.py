@@ -21,7 +21,7 @@ def main():
     rows, cols, vals = _movielens_like(rng, p=p, n=n, nnz=90_000_000)
     t0 = time.perf_counter()
     X = build_tiled(rows, cols, vals, (p, n), dense_tile_nnz=2048,
-                    group=8, tail_span=16).slim()
+                    group=8, coo_tail_nnz=32).slim()
     X = dataclasses.replace(X, row_perm=None, row_rank=None,
                             col_perm=None, col_rank=None)
     print("build", round(time.perf_counter() - t0, 1), "s", flush=True)
@@ -45,7 +45,7 @@ def main():
     jax.block_until_ready(W); float(jnp.sum(H))
     print(f"iter1 (compile+run): {time.perf_counter()-t0:.1f}s", flush=True)
     times = []
-    for i in range(3):
+    for i in range(6):
         t0 = time.perf_counter()
         W, H, state = one_iter(W, H, state)
         float(jnp.sum(H))

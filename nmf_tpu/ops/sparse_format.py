@@ -268,6 +268,37 @@ class TiledCSR:
         )
 
 
+def _uniq_sorted(a, counts=False, index=False, inverse=False):
+    """np.unique for an already-sorted key array.  np.unique re-sorts its
+    input unconditionally (O(n log n)); every call site in the binner feeds
+    keys that are sorted by construction, where one O(n) neighbor-diff scan
+    suffices — measured as a dominant slice of the config6 host build.
+    Returns (uniq, [first_index], [counts], [inverse]) per the flags."""
+    n = len(a)
+    if n == 0:
+        z = np.zeros(0, np.int64)
+        out = [a]
+        if index:
+            out.append(z)
+        if counts:
+            out.append(z)
+        if inverse:
+            out.append(z)
+        return tuple(out) if len(out) > 1 else a
+    change = np.empty(n, bool)
+    change[0] = True
+    np.not_equal(a[1:], a[:-1], out=change[1:])
+    first = np.flatnonzero(change)
+    out = [a[first]]
+    if index:
+        out.append(first)
+    if counts:
+        out.append(np.diff(np.append(first, n)))
+    if inverse:
+        out.append(np.cumsum(change) - 1)
+    return tuple(out) if len(out) > 1 else out[0]
+
+
 def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
                         dense_thresh=None, tail_span=1, quad_tail_nnz=None,
                         quad_seg=32, coo_tail_nnz=None):
@@ -328,7 +359,7 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
     a_rows, a_cols, a_vals = gather3(order, rows, cols, vals)
     akey = key[order]
 
-    tiles_all, counts_all = np.unique(akey, return_counts=True)
+    tiles_all, counts_all = _uniq_sorted(akey, counts=True)
     if dense_thresh and len(tiles_all):
         tile_dense = counts_all >= dense_thresh
     else:
@@ -370,12 +401,12 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
     else:
         o_s = None
         tkey = akey[sp]
-    tiles, t_first, counts = np.unique(tkey, return_index=True, return_counts=True)
+    tiles, t_first, counts = _uniq_sorted(tkey, index=True, counts=True)
     nchunks_tile = -(-counts // TILE)
     gkey_tile = tiles // stripe_tiles  # (stripe * n_cpanels + wide col panel)
 
     if len(tiles):
-        g_uniq, g_first = np.unique(gkey_tile, return_index=True)
+        g_uniq, g_first = _uniq_sorted(gkey_tile, index=True)
         chunks_per_group = np.add.reduceat(nchunks_tile, g_first)
     else:
         g_uniq = np.zeros(0, np.int64)
@@ -408,7 +439,7 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
     if len(tiles):
         # tile -> global chunk base: group base + exclusive cumsum within group
         cs = np.cumsum(nchunks_tile) - nchunks_tile
-        _, gf, ginv = np.unique(gkey_tile, return_index=True, return_inverse=True)
+        _, gf, ginv = _uniq_sorted(gkey_tile, index=True, inverse=True)
         within = cs - cs[gf][ginv]
         grp_of_tile = np.searchsorted(g_uniq, gkey_tile)
         tile_chunk_base = group_base[grp_of_tile] + within
@@ -450,7 +481,7 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
     if len(d_tiles):
         DG = DENSE_GROUP
         gkey_d = d_tiles // stripe_tiles  # (stripe * n_colpanels + cp)
-        gd_uniq, gd_counts = np.unique(gkey_d, return_counts=True)
+        gd_uniq, gd_counts = _uniq_sorted(gkey_d, counts=True)
         padded_d = -(-gd_counts // DG) * DG
         # every stripe must be flushed once by the dense kernel too: one
         # dummy all-zero window for stripes with no dense tile
@@ -511,7 +542,7 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
     if len(q_tiles):
         QG = QUAD_GROUP
         gq_key = q_tiles // stripe_tiles  # (stripe * n_colpanels + cp)
-        gq_uniq, gq_tilecounts = np.unique(gq_key, return_counts=True)
+        gq_uniq, gq_tilecounts = _uniq_sorted(gq_key, counts=True)
         chunks_per_gq = -(-gq_tilecounts // nper)
         padded_q = -(-chunks_per_gq // QG) * QG
         # every stripe must be flushed by the quad kernel too
