@@ -43,6 +43,12 @@ class _Carry(NamedTuple):
     atb: jax.Array  # this column's A'b (k,)
     outer: jax.Array
     done: jax.Array
+    # flat state machine (round 5): the nested outer-while / cond /
+    # inner-while form compiled three masked-solve instances per cascade
+    # level; the flat form runs ONE solve per step with a phase flag
+    s: jax.Array  # trial passive solution (k,)
+    phase: jax.Array  # False = add coordinate, True = backtracking
+    it: jax.Array  # backtracking step count (inner bound k+1)
 
 
 def _masked_solve(AtA, Atb, P):
@@ -56,69 +62,69 @@ def _masked_solve(AtA, Atb, P):
     return jnp.linalg.solve(A, b)
 
 
-def _make_outer_body(AtA, tol):
-    """One outer FNNLS step for a single column (most-violated coordinate
-    enters the passive set, inner backtracking restores feasibility).
-    Columns whose optimality test fires take the freeze branch and set
-    ``done`` — NOT a fixed point on its own (``outer`` keeps counting), so
-    batched drivers must mask finished columns out."""
+def _make_flat_body(AtA, tol):
+    """One step of the FLAT FNNLS state machine for a single column.
+
+    Same math as the Bro & de Jong nest (outer add-coordinate loop, inner
+    backtracking loop), but flattened into a single step function with a
+    ``phase`` flag so batched drivers run ONE while_loop whose body holds
+    exactly ONE masked solve — the nested outer-while/cond/inner-while form
+    compiled three solve instances per program, and the SPA cascade
+    compiles the program once per level (measured 287 s first-call at
+    spa4; the ALSPGrad flattening precedent was 340 s -> 40 s).
+
+    Per-column semantics are unchanged: ADD picks the most-violated
+    inactive coordinate (or freezes via ``done`` with ``outer`` counting,
+    exactly like the nested freeze branch); the trial passive solution is
+    committed when feasible, else the step switches to BACKTRACK, whose
+    alpha-steps run until feasible or the ``k+1`` inner bound — the same
+    solve sequence in the same order, so results are bit-identical (pinned
+    against the reference oracle in tests/test_fnnls.py).  ``outer``
+    counts committed/frozen outer steps only, preserving the ``max_outer``
+    contract."""
     k = AtA.shape[0]
     dt = AtA.dtype
     zero = jnp.zeros((), dt)
     neg_inf = jnp.asarray(-jnp.inf, dt)
 
-    def inner(x, P, atb):
-        """Backtrack until the passive solution is feasible (s_P > 0)."""
-
-        class _IC(NamedTuple):
-            x: jax.Array
-            P: jax.Array
-            s: jax.Array
-            it: jax.Array
-
-        def cond(c: _IC):
-            bad = jnp.any(c.P & (c.s <= tol))
-            return jnp.logical_and(bad, c.it < k + 1)
-
-        def body(c: _IC):
-            sel = c.P & (c.s <= tol)
-            denom = c.x - c.s
-            ratio = jnp.where(
-                sel & (denom != 0), c.x / jnp.where(denom != 0, denom, 1), jnp.inf
-            )
-            alpha = jnp.min(ratio)
-            x = c.x + alpha * (c.s - c.x)
-            P = c.P & (x > tol)
-            s = _masked_solve(AtA, atb, P)
-            return _IC(x, P, s, c.it + 1)
-
-        s0 = _masked_solve(AtA, atb, P)
-        out = jax.lax.while_loop(
-            cond, body, _IC(x, P, s0, jnp.zeros((), jnp.int32))
-        )
-        x = jnp.where(out.P, out.s, zero)
-        return x, out.P
-
     def body(c: _Carry):
-        # Pick the most violated inactive coordinate.
+        is_add = ~c.phase
+        # ADD: most-violated inactive coordinate (garbage under BACKTRACK,
+        # masked below)
         w_masked = jnp.where(c.P, neg_inf, c.w)
         j = jnp.argmax(w_masked)
         stop = jnp.all(c.P) | (w_masked[j] <= tol)
-
-        def step(c: _Carry):
-            P = c.P.at[j].set(True)
-            x, P = inner(c.x, P, c.atb)
-            w = c.atb - AtA @ x
-            return _Carry(x, P, w, c.atb, c.outer + 1, jnp.zeros((), bool))
-
-        return jax.lax.cond(
-            stop,
-            lambda c: _Carry(
-                c.x, c.P, c.w, c.atb, c.outer + 1, jnp.ones((), bool)
-            ),
-            step,
-            c,
+        newly_done = is_add & stop
+        P_add = c.P.at[j].set(True)
+        # BACKTRACK: alpha-step toward the (infeasible) trial solution
+        sel = c.P & (c.s <= tol)
+        denom = c.x - c.s
+        ratio = jnp.where(
+            sel & (denom != 0), c.x / jnp.where(denom != 0, denom, 1), jnp.inf
         )
+        alpha = jnp.min(ratio)
+        x_bt = c.x + alpha * (c.s - c.x)
+        P_bt = c.P & (x_bt > tol)
+        # the one shared solve
+        P_next = jnp.where(is_add, P_add, P_bt)
+        x_pre = jnp.where(is_add, c.x, x_bt)
+        s_next = _masked_solve(AtA, c.atb, P_next)
+        it_next = jnp.where(is_add, jnp.zeros_like(c.it), c.it + 1)
+        feasible = ~jnp.any(P_next & (s_next <= tol))
+        accept = feasible | (~is_add & (it_next >= k + 1))
+        x_acc = jnp.where(P_next, s_next, zero)
+        w_acc = c.atb - AtA @ x_acc
+        advance = ~newly_done
+        commit = advance & accept
+        x = jnp.where(commit, x_acc, jnp.where(advance, x_pre, c.x))
+        P = jnp.where(advance, P_next, c.P)
+        w = jnp.where(commit, w_acc, c.w)
+        s = jnp.where(advance, s_next, c.s)
+        phase = jnp.where(advance, ~accept, c.phase)
+        it = jnp.where(advance, jnp.where(accept, jnp.zeros_like(c.it), it_next), c.it)
+        outer = c.outer + (newly_done | commit).astype(c.outer.dtype)
+        done = c.done | newly_done
+        return _Carry(x, P, w, c.atb, outer, done, s, phase, it)
 
     return body
 
@@ -133,6 +139,9 @@ def _init_carry(AtB_cols):
         AtB_cols,
         jnp.zeros((n,), jnp.int32),
         jnp.zeros((n,), bool),
+        jnp.zeros((n, k), AtB_cols.dtype),
+        jnp.zeros((n,), bool),
+        jnp.zeros((n,), jnp.int32),
     )
 
 
@@ -154,7 +163,7 @@ def nnls_gram(AtA, AtB, *, max_outer: int | None = None,
     dt = AtA.dtype
     # NonNegLeastSquares.jl's fnnls tolerance: 10*eps*||AtA||_1*k.
     tol = 10 * jnp.finfo(dt).eps * jnp.max(jnp.sum(jnp.abs(AtA), axis=0)) * k
-    body1 = _make_outer_body(AtA, tol)
+    body1 = _make_flat_body(AtA, tol)
     body_vec = jax.vmap(body1)
 
     knobs = config.fnnls_cascade
