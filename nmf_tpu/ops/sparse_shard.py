@@ -105,16 +105,25 @@ class _ShardedSideC:
     qwin_stripe: jax.Array | None = data_field(default=None)
     n_qchunks: int = static_field(default=0)
     quad_seg: int = static_field(default=32)  # sub-segment width (32 | 16)
+    # COO dust band (round 5, mirrors TiledSideC): per-device row-sorted
+    # local coordinates, padding entries repeat the last real row with
+    # value 0 (keeps segment_sum's sorted contract and adds nothing)
+    coo_rows: jax.Array | None = data_field(default=None)  # (R, C, ncoo)
+    coo_cols: jax.Array | None = data_field(default=None)
+    coo_vals: jax.Array | None = data_field(default=None)
+    n_coo: int = static_field(default=0)
 
     @property
     def n_slots(self) -> int:
         """Flat per-device slot count of the value layout: chunk slots,
         then dense-block elements ((col, row) within block), then quad
-        slots — the same region order as ``TiledSideC``'s perm/inv."""
+        slots, then COO band entries — the same region order as
+        ``TiledSideC``'s perm/inv."""
         return (
             self.coords.shape[2] * TILE
             + self.n_dblocks * TILE * TILE
             + self.n_qchunks * TILE
+            + self.n_coo
         )
 
 
@@ -152,6 +161,10 @@ class ShardedTiled:
     row_rank: jax.Array | None = data_field(default=None)
     col_perm: jax.Array | None = data_field(default=None)  # (C, local_n) int32
     col_rank: jax.Array | None = data_field(default=None)
+    # exact per-block pattern nnz ((R, C) nested tuple, agreed at build):
+    # closes the explicit-zero caveat of sharded_load_stats — value!=0
+    # counts undercount patterns with stored zeros
+    block_nnz: tuple | None = static_field(default=None)
 
     @property
     def dtype(self):
@@ -194,7 +207,7 @@ def _pad_windows(panel, stripe, nwin0, add):
 
 
 def _pad_compact_block(s: TiledSideC, nwin_t: int, nwin_d_t: int,
-                       nwin_q_t: int, quad_seg: int = 32):
+                       nwin_q_t: int, quad_seg: int = 32, ncoo_t: int = 0):
     """Pad one device block's compact side to the uniform window counts.
     Returns a dict of numpy arrays (the assembled global array's block) plus
     the perm remapped to the padded flat slot layout."""
@@ -257,20 +270,48 @@ def _pad_compact_block(s: TiledSideC, nwin_t: int, nwin_d_t: int,
         out.update(qvals=qv, qlrows=qlr, qlcols=qlc, q_rp=qrp,
                    qwin_panel=qp, qwin_stripe=qs)
 
+    if ncoo_t:
+        ncoo0 = s.n_coo
+        if ncoo0:
+            cr = np.asarray(s.coo_rows)
+            cc = np.asarray(s.coo_cols)
+            cv = np.asarray(s.coo_vals)
+        else:
+            cr = cc = np.zeros(0, np.int32)
+            cv = np.zeros(0, np.float32)
+        addc = ncoo_t - ncoo0
+        if addc:
+            # repeat the last real row (or 0) so the per-device band stays
+            # row-sorted for segment_sum; value 0 adds nothing
+            lastr = cr[-1] if ncoo0 else np.int32(0)
+            cr = np.concatenate([cr, np.full(addc, lastr, np.int32)])
+            cc = np.concatenate([cc, np.zeros(addc, np.int32)])
+            cv = np.concatenate([cv, np.zeros(addc, np.float32)])
+        out.update(coo_rows=cr, coo_cols=cc, coo_vals=cv)
+
     # remap perm into the padded flat slot space (chunk slots keep their
-    # indices — padding only appends; dense/quad regions shift by the grown
-    # earlier regions)
+    # indices — padding only appends; dense/quad/coo regions shift by the
+    # grown earlier regions)
     old_chunk = s.n_windows * group * TILE
     old_dense = s.n_dblocks * TILE * TILE
+    old_quad = s.n_qchunks * TILE
     new_chunk = nwin_t * group * TILE
     new_dense = nwin_d_t * DG * TILE * TILE
+    new_quad = nwin_q_t * QG * TILE
     perm = np.asarray(s.perm).copy()
     in_dense = (perm >= old_chunk) & (perm < old_chunk + old_dense)
-    in_quad = perm >= old_chunk + old_dense
+    in_quad = (perm >= old_chunk + old_dense) & (
+        perm < old_chunk + old_dense + old_quad
+    )
+    in_coo = perm >= old_chunk + old_dense + old_quad
     perm[in_dense] += new_chunk - old_chunk
     perm[in_quad] += (new_chunk - old_chunk) + (new_dense - old_dense)
+    perm[in_coo] += (
+        (new_chunk - old_chunk) + (new_dense - old_dense)
+        + (new_quad - old_quad)
+    )
     out["perm"] = perm
-    out["n_slots"] = new_chunk + new_dense + nwin_q_t * QG * TILE
+    out["n_slots"] = new_chunk + new_dense + new_quad + ncoo_t
     return out
 
 
@@ -279,16 +320,16 @@ def _assemble_compact(mesh, R, C, fwd_blocks, bwd_blocks, targets,
     """Pad every owned block to the agreed window counts, build the per-device
     bwd->fwd slot maps, and assemble the global sharded arrays for both
     orientations of the compact layout."""
-    nwin_f, nwd_f, nwq_f, nwin_b, nwd_b, nwq_b = targets
+    nwin_f, nwd_f, nwq_f, ncoo_f, nwin_b, nwd_b, nwq_b, ncoo_b = targets
     b0f = next(iter(fwd_blocks.values()))
     b0b = next(iter(bwd_blocks.values()))
     qseg = b0f.quad_seg
     padded_f = {
-        k: _pad_compact_block(s, nwin_f, nwd_f, nwq_f, qseg)
+        k: _pad_compact_block(s, nwin_f, nwd_f, nwq_f, qseg, ncoo_f)
         for k, s in fwd_blocks.items()
     }
     padded_b = {
-        k: _pad_compact_block(s, nwin_b, nwd_b, nwq_b, qseg)
+        k: _pad_compact_block(s, nwin_b, nwd_b, nwq_b, qseg, ncoo_b)
         for k, s in bwd_blocks.items()
     }
     Sf = next(iter(padded_f.values()))["n_slots"]
@@ -313,7 +354,7 @@ def _assemble_compact(mesh, R, C, fwd_blocks, bwd_blocks, targets,
             {k: v[name] for k, v in padded.items()}, key_fn,
         )
 
-    def make_side(padded, src, nwin, nwd, nwq, fwd_lead, key_fn, lp, ln):
+    def make_side(padded, src, nwin, nwd, nwq, ncoo, fwd_lead, key_fn, lp, ln):
         a = lambda name: asm(padded, name, fwd_lead, key_fn)
         return _ShardedSideC(
             a("coords"), a("vals"), a("chunk_rp"),
@@ -338,12 +379,16 @@ def _assemble_compact(mesh, R, C, fwd_blocks, bwd_blocks, targets,
             qwin_stripe=a("qwin_stripe") if nwq else None,
             n_qchunks=nwq * QUAD_GROUP,
             quad_seg=src.quad_seg,
+            coo_rows=a("coo_rows") if ncoo else None,
+            coo_cols=a("coo_cols") if ncoo else None,
+            coo_vals=a("coo_vals") if ncoo else None,
+            n_coo=ncoo,
         )
 
-    fwd = make_side(padded_f, b0f, nwin_f, nwd_f, nwq_f, True, _fwd_key,
-                    local_p, local_n)
-    bwd = make_side(padded_b, b0b, nwin_b, nwd_b, nwq_b, False, _bwd_key,
-                    local_n, local_p)
+    fwd = make_side(padded_f, b0f, nwin_f, nwd_f, nwq_f, ncoo_f, True,
+                    _fwd_key, local_p, local_n)
+    bwd = make_side(padded_b, b0b, nwin_b, nwd_b, nwq_b, ncoo_b, False,
+                    _bwd_key, local_n, local_p)
     b2f = _assemble(mesh, P(COLS, ROWS, None), (C, R, Sb), b2f_blocks,
                     _bwd_key)
     return fwd, bwd, b2f
@@ -389,6 +434,7 @@ def shard_tiled(
     local: bool = False, layout: str = "compact", group: int = 16,
     dense_tile_nnz: int | None = None, quad_tail_nnz: int | None = None,
     quad_seg: int = 32, order: str = "degree",
+    coo_tail_nnz: int | None = None,
 ) -> ShardedTiled:
     """Build the 2-D sharded tiling from COO data for ``mesh``.
 
@@ -478,6 +524,7 @@ def shard_tiled(
     bj = cols // local_n
     covered = np.zeros(len(rows), bool)
     fwd_blocks, bwd_blocks = {}, {}
+    block_nnz = np.zeros((R, C), np.int64)
     for (i, j) in owned:
         m = (bi == i) & (bj == j)
         covered |= m
@@ -489,13 +536,14 @@ def shard_tiled(
         fwd_blocks[(i, j)] = _build_side_compact(
             lr, lc, vals[m],
             local_p, local_n, stripe_tiles, group, dense_tile_nnz,
-            1, quad_tail_nnz, quad_seg,
+            1, quad_tail_nnz, quad_seg, coo_tail_nnz,
         )
         bwd_blocks[(i, j)] = _build_side_compact(
             lc, lr, vals[m],
             local_n, local_p, stripe_tiles, group, dense_tile_nnz,
-            1, quad_tail_nnz, quad_seg,
+            1, quad_tail_nnz, quad_seg, coo_tail_nnz,
         )
+        block_nnz[i, j] = int(m.sum())
     if local and not covered.all():
         raise ValueError(
             "local=True: some nonzeros fall in blocks owned by other "
@@ -508,12 +556,17 @@ def shard_tiled(
             max(s.n_windows for s in fwd_blocks.values()),
             max(s.n_dblocks // DENSE_GROUP for s in fwd_blocks.values()),
             max(s.n_qchunks // QUAD_GROUP for s in fwd_blocks.values()),
+            max(s.n_coo for s in fwd_blocks.values()),
             max(s.n_windows for s in bwd_blocks.values()),
             max(s.n_dblocks // DENSE_GROUP for s in bwd_blocks.values()),
             max(s.n_qchunks // QUAD_GROUP for s in bwd_blocks.values()),
+            max(s.n_coo for s in bwd_blocks.values()),
         ],
         np.int64,
     )
+    # exact per-block pattern nnz rides the same agreement (each block is
+    # owned by exactly one process, so elementwise max assembles the grid)
+    pads_local = np.concatenate([pads_local, block_nnz.reshape(-1)])
     ov = vals[covered] if multiproc else vals
     stats_local = np.asarray(
         [ov.sum(dtype=np.float64), (ov.astype(np.float64) ** 2).sum(),
@@ -535,7 +588,11 @@ def shard_tiled(
 
     fwd, bwd, b2f = _assemble_compact(
         mesh, R, C, fwd_blocks, bwd_blocks,
-        tuple(int(v) for v in pads_local), local_p, local_n,
+        tuple(int(v) for v in pads_local[:8]), local_p, local_n,
+    )
+    block_nnz_t = tuple(
+        tuple(int(v) for v in row)
+        for row in pads_local[8:].reshape(R, C)
     )
     if order == "degree":
         perms = dict(
@@ -547,7 +604,8 @@ def shard_tiled(
     else:
         perms = {}
     return ShardedTiled(
-        fwd, bwd, stats, b2f, (p, n), (R, C), False, mesh, **perms
+        fwd, bwd, stats, b2f, (p, n), (R, C), False, mesh,
+        block_nnz=block_nnz_t, **perms
     )
 
 
@@ -558,6 +616,8 @@ def _compact_operand_names(side: _ShardedSideC):
     if side.n_qchunks:
         names += ["qvals", "qlrows", "qlcols", "q_rp", "qwin_panel",
                   "qwin_stripe"]
+    if side.n_coo:
+        names += ["coo_rows", "coo_cols", "coo_vals"]
     return names
 
 
@@ -591,17 +651,33 @@ def _local_matmul_compact(side: _ShardedSideC, a: dict, Dt_local, precision):
             a["q_rp"], a["qwin_panel"], a["qwin_stripe"],
             a["qlrows"], a["qlcols"], a["qvals"], Dt_local,
             (side.n_qchunks // QUAD_GROUP, QUAD_GROUP, stripe_width, p_pad,
-             side.quad_seg),
+             side.quad_seg, side.n_stripes, side.n_colpanels),
             False, precision,
         )
+    if side.n_coo:
+        out = out + _local_coo_matmul(side, a, Dt_local, p_pad)
     return out
+
+
+def _local_coo_matmul(side: _ShardedSideC, a: dict, Dt_local, p_pad):
+    """Per-device COO dust band: gather D columns, scale, sorted
+    segment-sum over local rows — the sharded twin of the single-chip
+    ``_coo_matmul`` (padding entries repeat a real row with value 0)."""
+    contrib = (
+        jnp.take(Dt_local, a["coo_cols"], axis=1) * a["coo_vals"][None, :]
+    )
+    seg = jax.ops.segment_sum(
+        contrib.T, a["coo_rows"], num_segments=p_pad,
+        indices_are_sorted=True,
+    )
+    return seg.T
 
 
 def _slot_coords_compact(side: _ShardedSideC, a: dict):
     """(local row, local col) per slot of the flat compact value layout
     (chunk slots, then dense-block elements in (col, row) order, then quad
-    slots).  Padding slots get in-range coords; their value is exactly 0, and
-    every consumer weights by value."""
+    slots, then COO band entries).  Padding slots get in-range coords; their
+    value is exactly 0, and every consumer weights by value."""
     st = side.panels_per_stripe
     nchunks = side.n_windows * side.group
     c = jnp.arange(nchunks)
@@ -637,6 +713,9 @@ def _slot_coords_compact(side: _ShardedSideC, a: dict):
         col_q = (a["qwin_panel"][wq] * TILE)[:, None] + a["qlcols"]
         rows.append(row_q.reshape(-1))
         cols.append(col_q.reshape(-1))
+    if side.n_coo:
+        rows.append(a["coo_rows"])
+        cols.append(a["coo_cols"])
     return jnp.concatenate(rows), jnp.concatenate(cols)
 
 
@@ -646,6 +725,8 @@ def _flat_vals_compact(side: _ShardedSideC, a: dict):
         v.append(a["dvals"].reshape(-1))
     if side.n_qchunks:
         v.append(a["qvals"].reshape(-1))
+    if side.n_coo:
+        v.append(a["coo_vals"])
     return jnp.concatenate(v)
 
 
@@ -795,10 +876,17 @@ def _local_sddmm_kernels(side: _ShardedSideC, a: dict, Wl, Htl):
             a["q_rp"], a["qwin_panel"], a["qwin_stripe"], a["qlrows"],
             a["qlcols"], Wt, Ht,
             (side.n_qchunks // QUAD_GROUP, QUAD_GROUP, stripe_width,
-             side.quad_seg),
+             side.quad_seg, side.n_stripes, side.n_colpanels),
             False,
         )
         flat = jnp.concatenate([flat, qout.reshape(-1)])
+    if side.n_coo:
+        csamp = jnp.sum(
+            jnp.take(jnp.asarray(Wl, jnp.float32), a["coo_rows"], axis=0)
+            * jnp.take(jnp.asarray(Htl, jnp.float32), a["coo_cols"], axis=0),
+            axis=1,
+        )
+        flat = jnp.concatenate([flat, csamp])
     return flat
 
 
@@ -925,7 +1013,13 @@ def _split_side_vals_compact(side: _ShardedSideC, flat):
         )
         off += nd
     if side.n_qchunks:
-        kw["qvals"] = flat[..., off:].reshape(l0, l1, side.n_qchunks, TILE)
+        nq = side.n_qchunks * TILE
+        kw["qvals"] = flat[..., off : off + nq].reshape(
+            l0, l1, side.n_qchunks, TILE
+        )
+        off += nq
+    if side.n_coo:
+        kw["coo_vals"] = flat[..., off:]
     return dataclasses.replace(side, **kw)
 
 
@@ -957,6 +1051,8 @@ def sharded_nnz_values(X: ShardedTiled):
         parts.append(side.dvals.reshape(*side.dvals.shape[:2], -1))
     if side.n_qchunks:
         parts.append(side.qvals.reshape(*side.qvals.shape[:2], -1))
+    if side.n_coo:
+        parts.append(side.coo_vals)
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=2)
 
 
@@ -1015,13 +1111,13 @@ def sharded_load_stats(X: ShardedTiled) -> dict:
     multi-process safe, no host gather of the matrix, and a single tunnel
     round-trip.
 
-    Caveat: "nonzero" is measured as ``value != 0`` on the stored slots (the
-    pattern's padding slots are indistinguishable from a stored entry at
-    local (0, 0) without a per-block count the format doesn't carry), so
-    *explicitly stored zeros* — deduped COO input with zero values, or
-    values zeroed later by ``sharded_scale_values`` — count as padding:
-    ``total_nnz`` then undercounts the stored pattern.  The counts are a
-    load-skew diagnostic, not an exact nnz accounting."""
+    When the instance carries ``block_nnz`` (every ``shard_tiled`` build
+    since round 5), the report includes ``pattern_nnz`` — the EXACT per-block
+    stored-pattern counts agreed at build time, immune to explicitly stored
+    zeros.  The per-store ``*_nnz`` rows are still measured as
+    ``value != 0`` on the slots (padding is indistinguishable from a stored
+    zero at slot level), so on patterns with explicit zeros they undercount;
+    prefer ``pattern_nnz`` for exact accounting."""
     side = X.fwd
     rep = NamedSharding(X.mesh, P()) if X.mesh is not None else None
     compact = isinstance(side, _ShardedSideC)
@@ -1034,6 +1130,9 @@ def sharded_load_stats(X: ShardedTiled) -> dict:
         if side.n_qchunks:
             operands["quad_nnz"] = (side.qvals, (2, 3))
             slots += side.n_qchunks * TILE
+        if side.n_coo:
+            operands["coo_nnz"] = (side.coo_vals, (2,))
+            slots += side.n_coo
 
     def counts(arrs):
         return {
@@ -1048,6 +1147,8 @@ def sharded_load_stats(X: ShardedTiled) -> dict:
     out["padded_slots_per_device"] = slots
     total = sum(v for k, v in out.items() if k.endswith("_nnz"))
     out["total_nnz"] = total
+    if X.block_nnz is not None:
+        out["pattern_nnz"] = np.asarray(X.block_nnz, np.int64)
     mean = float(total.mean())
     out["imbalance_max_over_mean"] = (
         float(total.max()) / mean if mean else 1.0

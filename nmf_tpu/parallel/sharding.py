@@ -83,6 +83,8 @@ def shard_problem(mesh: Mesh, X, W, H):
                       order="degree" if X.row_perm is not None else "natural")
             if rest:
                 kw["quad_seg"] = rest[0]
+            if len(rest) > 1 and rest[1] is not None:
+                kw["coo_tail_nnz"] = rest[1]
         X = shard_tiled(
             np.asarray(X.row_idx), np.asarray(X.col_idx), np.asarray(X.values),
             X.shape, mesh, **kw,

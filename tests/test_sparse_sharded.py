@@ -296,3 +296,83 @@ def test_sharded_load_stats():
     assert int(st["total_nnz"].sum()) == len(r)
     assert st["imbalance_max_over_mean"] >= 1.0
     assert st["padded_slots_per_device"] >= int(st["total_nnz"].max())
+
+
+@requires_multidevice
+@pytest.mark.parametrize(
+    "alg", ["multmse", "multdiv", "cd"], ids=str,
+)
+def test_sharded_coo_band_solvers_match_dense(alg):
+    """Round-5 four-class store on the mesh: dense + narrow + quad + COO
+    dust band per device block; solver results must match dense."""
+    rng = np.random.default_rng(9)
+    p, n, k = 300, 260, 3
+    Xd = (rng.random((p, n)) * (rng.random((p, n)) < 0.004)).astype(np.float32)
+    Xd[:40, :40] += ((rng.random((40, 40)) < 0.8) * rng.random((40, 40))).astype(
+        np.float32
+    )
+    r, c = np.nonzero(Xd)
+    mesh = make_mesh((2, 4))
+    X = shard_tiled(
+        r, c, Xd[r, c], Xd.shape, mesh, stripe_tiles=1,
+        dense_tile_nnz=100, quad_tail_nnz=16, coo_tail_nnz=2,
+    )
+    assert X.fwd.n_coo > 0 and X.bwd.n_coo > 0
+    algs = {
+        "multmse": nmf_tpu.MultUpdate(obj="mse", maxiter=5),
+        "multdiv": nmf_tpu.MultUpdate(obj="div", maxiter=5),
+        "cd": nmf_tpu.CoordinateDescent(maxiter=5),
+    }
+    W0 = np.abs(rng.random((p, k))).astype(np.float32)
+    H0 = np.abs(rng.random((k, n))).astype(np.float32)
+    dense = nmf_tpu.solve(algs[alg], jnp.asarray(Xd), jnp.asarray(W0), jnp.asarray(H0))
+    Wd = jax.device_put(jnp.asarray(W0), w_sharding(mesh))
+    Hd = jax.device_put(jnp.asarray(H0), h_sharding(mesh))
+    sp = nmf_tpu.solve(algs[alg], X, Wd, Hd)
+    assert sp.niters == dense.niters
+    np.testing.assert_allclose(
+        np.asarray(sp.W), np.asarray(dense.W), rtol=5e-4, atol=1e-4
+    )
+    assert np.isclose(sp.objvalue, dense.objvalue, rtol=1e-4)
+
+
+@requires_multidevice
+def test_sharded_coo_band_per_nnz_ops():
+    """scale_values / nnz_values / sddmm / load stats over the COO region,
+    plus the exact pattern_nnz report."""
+    from nmf_tpu.ops.sparse_shard import (
+        sharded_load_stats,
+        sharded_nnz_values,
+        sharded_scale_values,
+        sharded_sddmm,
+    )
+
+    rng = np.random.default_rng(10)
+    p, n, k = 300, 260, 4
+    Xd = (rng.random((p, n)) * (rng.random((p, n)) < 0.004)).astype(np.float32)
+    Xd[:40, :40] += ((rng.random((40, 40)) < 0.8) * rng.random((40, 40))).astype(
+        np.float32
+    )
+    r, c = np.nonzero(Xd)
+    mesh = make_mesh((2, 4))
+    X = shard_tiled(
+        r, c, Xd[r, c], Xd.shape, mesh, stripe_tiles=1,
+        dense_tile_nnz=100, quad_tail_nnz=16, coo_tail_nnz=4,
+    )
+    assert X.fwd.n_coo > 0
+    stats = sharded_load_stats(X)
+    assert stats["pattern_nnz"].sum() == len(r)
+    assert stats["total_nnz"].sum() == len(r)  # no explicit zeros here
+    # sddmm == (W@H) at the pattern, weighted by the value layout
+    W = jnp.asarray(np.abs(rng.random((p, k))).astype(np.float32))
+    H = jnp.asarray(np.abs(rng.random((k, n))).astype(np.float32))
+    wh = sharded_sddmm(X, W, H)
+    v = sharded_nnz_values(X)
+    got = float(jnp.sum(jnp.asarray(wh) * jnp.asarray(v)))
+    want = float((((np.asarray(W) @ np.asarray(H)) * (Xd != 0)) * Xd).sum())
+    assert np.isclose(got, want, rtol=1e-4)
+    # doubling the values through scale_values doubles sq_norm
+    X2 = sharded_scale_values(X, jnp.asarray(v) * 2)
+    assert np.isclose(
+        float(matops.sq_norm(X2)), 4 * (Xd**2).sum(), rtol=1e-5
+    )
