@@ -2,7 +2,7 @@
 
 Usage:
   python benchmarks/ingest_profile.py [--nnz 90000000] [--p 2000000]
-      [--n 200000] [--dense 2048] [--span 16] [--profile]
+      [--n 200000] [--dense 2048] [--span 1] [--coo 32] [--profile]
 
 Prints one JSON line per phase (generation excluded) plus the end-to-end
 Mnnz/s — the ingestion-rate table the pod sizing needs (VERDICT r3 #5:
@@ -30,7 +30,8 @@ def main():
     ap.add_argument("--p", type=int, default=2_000_000)
     ap.add_argument("--n", type=int, default=200_000)
     ap.add_argument("--dense", type=int, default=2048)
-    ap.add_argument("--span", type=int, default=16)
+    ap.add_argument("--span", type=int, default=1)
+    ap.add_argument("--coo", type=int, default=32)
     ap.add_argument("--profile", action="store_true")
     args = ap.parse_args()
 
@@ -75,7 +76,8 @@ def main():
     def one_side(rr, cc, P, N, label):
         t0 = time.perf_counter()
         side = sf._build_side_compact(
-            rr, cc, v1, P, N, 32, 16, args.dense, args.span, None, 32,
+            rr, cc, v1, P, N, 32, 16 if args.span > 1 else 8,
+            args.dense, args.span, None, 32, args.coo or None,
         )
         dt = time.perf_counter() - t0
         # .nbytes on the jnp arrays directly — np.asarray here read 1.8 GB
@@ -111,6 +113,7 @@ def main():
         "nnz": nnz,
         "dense_tile_nnz": args.dense,
         "tail_span": args.span,
+        "coo_tail_nnz": args.coo,
     }), flush=True)
 
 

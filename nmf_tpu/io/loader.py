@@ -16,7 +16,8 @@ import numpy as np
 
 __all__ = [
     "load_mtx", "coo_to_csr", "native_available", "to_bcoo",
-    "stable_argsort", "gather3", "dense_scatter",
+    "stable_argsort", "gather3", "gather3k", "dense_scatter",
+    "tile_key", "chunk_fill", "class_extract",
 ]
 
 _LIB = None
@@ -89,6 +90,57 @@ def _load_lib():
             np.ctypeslib.ndpointer(np.float32),
         ]
         lib.nmf_dense_scatter.restype = None
+        lib.nmf_tile_key.argtypes = [
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64),
+        ]
+        lib.nmf_tile_key.restype = None
+        lib.nmf_gather3k.argtypes = [
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float32),
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float32),
+            np.ctypeslib.ndpointer(np.int64),
+        ]
+        lib.nmf_gather3k.restype = None
+        lib.nmf_chunk_fill.argtypes = [
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float32),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float32),
+            np.ctypeslib.ndpointer(np.int64),
+        ]
+        lib.nmf_chunk_fill.restype = None
+        lib.nmf_class_extract.argtypes = [
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float32),
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float32),
+            np.ctypeslib.ndpointer(np.int64),
+        ]
+        lib.nmf_class_extract.restype = None
         _LIB = lib
     except (OSError, AttributeError):
         # AttributeError: a stale libnmf_host.so built before a symbol was
@@ -241,6 +293,103 @@ def dense_scatter(dvals: np.ndarray, blk, lcol, lrow, v):
         np.ascontiguousarray(v, np.float32),
         dvals.reshape(-1),
     )
+
+
+def tile_key(rows, cols, n_colpanels: int, stripe_tiles: int):
+    """Fused tile key ((r//128)//st * ncp + c//128)*st + (r//128)%st in one
+    native pass (five numpy passes otherwise)."""
+    lib = _load_lib()
+    if lib is None or len(rows) < (1 << 16):
+        rp = rows // 128
+        return (
+            (rp // stripe_tiles).astype(np.int64) * n_colpanels + cols // 128
+        ) * stripe_tiles + rp % stripe_tiles
+    out = np.empty(len(rows), np.int64)
+    lib.nmf_tile_key(
+        len(rows), np.ascontiguousarray(rows, np.int32),
+        np.ascontiguousarray(cols, np.int32), n_colpanels, stripe_tiles, out,
+    )
+    return out
+
+
+def gather3k(order, r, c, v, k):
+    """(r[order], c[order], v[order], k[order]) in one parallel pass."""
+    lib = _load_lib()
+    if lib is None or len(order) < (1 << 16):
+        return r[order], c[order], v[order], k[order]
+    n = len(order)
+    ro = np.empty(n, np.int32)
+    co = np.empty(n, np.int32)
+    vo = np.empty(n, np.float32)
+    ko = np.empty(n, np.int64)
+    lib.nmf_gather3k(
+        n, np.ascontiguousarray(order, np.int64),
+        np.ascontiguousarray(r, np.int32),
+        np.ascontiguousarray(c, np.int32),
+        np.ascontiguousarray(v, np.float32),
+        np.ascontiguousarray(k, np.int64), ro, co, vo, ko,
+    )
+    return ro, co, vo, ko
+
+
+def chunk_fill(t_first, counts, base, s_rows, s_cols, s_vals, cwidth,
+               coords, vals):
+    """Per-tile chunk-slot assignment + coords/vals fill in one native pass
+    over the tile-sorted residual; returns the flat slot id per nonzero.
+    ``coords``/``vals`` are the flat (nchunks*128,) chunk-store arrays
+    (modified in place); the numpy fallback reproduces the original
+    pos_in_tile / chunk-index arithmetic exactly."""
+    lib = _load_lib()
+    nnz = len(s_rows)
+    if lib is not None and nnz >= (1 << 16) and coords.flags.c_contiguous             and vals.flags.c_contiguous:
+        slot = np.empty(nnz, np.int64)
+        lib.nmf_chunk_fill(
+            len(t_first), np.ascontiguousarray(t_first, np.int64),
+            np.ascontiguousarray(counts, np.int64),
+            np.ascontiguousarray(base, np.int64),
+            np.ascontiguousarray(s_rows, np.int32),
+            np.ascontiguousarray(s_cols, np.int32),
+            np.ascontiguousarray(s_vals, np.float32),
+            cwidth, coords, vals, slot,
+        )
+        return slot
+    pos = np.arange(nnz, dtype=np.int64) - np.repeat(t_first, counts)
+    slot = (np.repeat(base, counts) + pos // 128) * 128 + pos % 128
+    coords[slot] = ((s_cols % cwidth) << 7 | (s_rows % 128)).astype(np.int32)
+    vals[slot] = s_vals
+    return slot
+
+
+def class_extract(t_first, counts, dst, a_rows, a_cols, a_vals, order):
+    """Copy each tile's contiguous run of the sorted arrays to its class's
+    region (dst[t] = destination offset of tile t), gathering the CSR ids
+    (``order``) along — one native pass; the numpy fallback scatters via a
+    per-entry destination index."""
+    n = len(a_rows)
+    ro = np.empty(n, np.int32)
+    co = np.empty(n, np.int32)
+    vo = np.empty(n, np.float32)
+    oo = np.empty(n, np.int64)
+    lib = _load_lib()
+    if lib is not None and n >= (1 << 16):
+        lib.nmf_class_extract(
+            len(t_first), np.ascontiguousarray(t_first, np.int64),
+            np.ascontiguousarray(counts, np.int64),
+            np.ascontiguousarray(dst, np.int64),
+            np.ascontiguousarray(a_rows, np.int32),
+            np.ascontiguousarray(a_cols, np.int32),
+            np.ascontiguousarray(a_vals, np.float32),
+            np.ascontiguousarray(order, np.int64), ro, co, vo, oo,
+        )
+        return ro, co, vo, oo
+    d = np.repeat(dst, counts) + (
+        np.arange(n, dtype=np.int64) - np.repeat(t_first, counts)
+    )
+    ro[d] = a_rows
+    co[d] = a_cols
+    vo[d] = a_vals
+    oo[d] = order
+    return ro, co, vo, oo
 
 
 def to_bcoo(x, dtype=np.float32):

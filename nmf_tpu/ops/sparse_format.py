@@ -344,20 +344,16 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
         )
     n_stripes = -(-n_rowpanels // stripe_tiles)
 
-    rp = rows // TILE
-    cp = cols // TILE
-    stripe = rp // stripe_tiles
-    rps = rp % stripe_tiles
-
     # stable argsort of the fused tile key == lexsort((rps, cp, stripe)),
     # ~4x faster on 10M+ nnz (single radix pass instead of three; native
-    # parallel radix when libnmf_host is built)
-    from ..io.loader import gather3, stable_argsort
+    # parallel radix when libnmf_host is built).  Key build and the
+    # 4-array gather are single native passes too (round 5 — each replaced
+    # ~5 s of numpy full-array passes at the 84.6M-nnz config6 side).
+    from ..io.loader import chunk_fill, gather3k, stable_argsort, tile_key
 
-    key = (stripe.astype(np.int64) * n_colpanels + cp) * stripe_tiles + rps
+    key = tile_key(rows, cols, n_colpanels, stripe_tiles)
     order = stable_argsort(key)
-    a_rows, a_cols, a_vals = gather3(order, rows, cols, vals)
-    akey = key[order]
+    a_rows, a_cols, a_vals, akey = gather3k(order, rows, cols, vals, key)
 
     tiles_all, counts_all = _uniq_sorted(akey, counts=True)
     if dense_thresh and len(tiles_all):
@@ -372,21 +368,41 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
         tile_quad = (~tile_dense) & (~tile_coo) & (counts_all <= quad_tail_nnz)
     else:
         tile_quad = np.zeros(len(tiles_all), bool)
-    nnz_tile = (
-        np.repeat(np.arange(len(tiles_all)), counts_all)
-        if len(tiles_all)
-        else np.zeros(0, np.int64)
+    # ---- class partition (round 5): tiles are contiguous runs of the
+    # sorted arrays, so ONE pass (native nmf_class_extract) copies each
+    # tile's run into its class's contiguous region — dense | residual |
+    # quad | COO — gathering the CSR ids (``order``) along.  Replaces the
+    # repeat/mask/boolean-compress cascade that classified and extracted
+    # every class (~15 s per 84.6M-nnz config6 side).
+    from ..io.loader import class_extract
+
+    t_first_all = np.cumsum(counts_all) - counts_all
+    cls = np.ones(len(tiles_all), np.int8)  # 1 = residual chunk store
+    cls[tile_dense] = 0
+    cls[tile_quad] = 2
+    cls[tile_coo] = 3
+    dst = np.empty(len(tiles_all), np.int64)
+    sizes = []
+    dbase = 0
+    for cclass in range(4):
+        m = cls == cclass
+        cc = counts_all[m]
+        dst[m] = dbase + np.cumsum(cc) - cc
+        sizes.append(int(cc.sum()))
+        dbase += sizes[-1]
+    ar_p, ac_p, av_p, ids_p = class_extract(
+        t_first_all, counts_all, dst, a_rows, a_cols, a_vals, order
     )
-    is_dense = tile_dense[nnz_tile] if len(tiles_all) else np.zeros(0, bool)
-    is_quad = tile_quad[nnz_tile] if len(tiles_all) else np.zeros(0, bool)
-    is_coo = tile_coo[nnz_tile] if len(tiles_all) else np.zeros(0, bool)
-    slot_sorted = np.empty(len(akey), np.int64)
+    nd_nnz, nr_nnz, nq_nnz, nc_nnz = sizes
+    b_r = nd_nnz
+    b_q = b_r + nr_nnz
+    b_c = b_q + nq_nnz
+    s_rows, s_cols, s_vals = ar_p[b_r:b_q], ac_p[b_r:b_q], av_p[b_r:b_q]
+    ids_res = ids_p[b_r:b_q]
 
     span = tail_span
     cwidth = TILE * span
     n_cpanels = -(-n // cwidth)
-    sp = ~is_dense & ~is_quad & ~is_coo
-    s_rows, s_cols, s_vals = a_rows[sp], a_cols[sp], a_vals[sp]
     if span > 1:
         # re-sort the residual by the coarse (stripe, wide panel, rp) key
         s_ccp = s_cols // cwidth
@@ -394,14 +410,21 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
         s_rp2 = (s_rows // TILE) % stripe_tiles
         o_s = np.lexsort((s_rp2, s_ccp, s_st))
         s_rows, s_cols, s_vals = s_rows[o_s], s_cols[o_s], s_vals[o_s]
+        ids_res = ids_res[o_s]
         tkey = (
             (s_st[o_s].astype(np.int64) * n_cpanels + s_ccp[o_s]) * stripe_tiles
             + s_rp2[o_s]
         )
+        tiles, t_first, counts = _uniq_sorted(tkey, index=True, counts=True)
     else:
+        # span 1: the residual partition is still tile-sorted, so the
+        # per-tile ranges come straight from the classification — no tkey
+        # materialization, no second unique pass
         o_s = None
-        tkey = akey[sp]
-    tiles, t_first, counts = _uniq_sorted(tkey, index=True, counts=True)
+        rmask = cls == 1
+        tiles = tiles_all[rmask]
+        counts = counts_all[rmask]
+        t_first = np.cumsum(counts) - counts
     nchunks_tile = -(-counts // TILE)
     gkey_tile = tiles // stripe_tiles  # (stripe * n_cpanels + wide col panel)
 
@@ -444,17 +467,12 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
         grp_of_tile = np.searchsorted(g_uniq, gkey_tile)
         tile_chunk_base = group_base[grp_of_tile] + within
 
-        # per-nnz chunk/slot
-        pos_in_tile = np.arange(len(tkey)) - np.repeat(t_first, counts)
-        chunk_within = pos_in_tile // TILE
-        slot = pos_in_tile % TILE
-        tile_of_nnz = np.searchsorted(tiles, tkey)
-        chunk_idx = tile_chunk_base[tile_of_nnz] + chunk_within
-
-        coords[chunk_idx, slot] = (
-            ((s_cols % cwidth) << 7) | (s_rows % TILE)
-        ).astype(np.int32)
-        out_vals[chunk_idx, slot] = s_vals
+        # per-nnz chunk/slot + coords/vals fill: one native pass over the
+        # tile-sorted residual (numpy fallback inside chunk_fill)
+        slot_sp = chunk_fill(
+            t_first, counts, tile_chunk_base, s_rows, s_cols, s_vals,
+            cwidth, coords.reshape(-1), out_vals.reshape(-1),
+        )
 
         # row panel of every (non-padding) chunk
         tot = int(nchunks_tile.sum())
@@ -464,13 +482,9 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
             np.int32
         )
 
-        slot_sp = chunk_idx * TILE + slot
-        if o_s is None:
-            slot_sorted[sp] = slot_sp
-        else:
-            tmp = np.empty(len(slot_sp), np.int64)
-            tmp[o_s] = slot_sp
-            slot_sorted[sp] = tmp
+        res_slots = slot_sp
+    else:
+        res_slots = np.zeros(0, np.int64)
     nchunk_slots = total_chunks * TILE
 
     # ---- dense-tile store (hybrid MXU path) ----
@@ -504,13 +518,13 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
         blk_pos = base_d[grp_of_tile_d] + within
 
         dvals = np.zeros((ndblk, TILE, TILE), np.float32)
-        b_of_nnz = blk_pos[np.searchsorted(d_tiles, akey[is_dense])]
-        dlrow = (a_rows[is_dense] % TILE).astype(np.int64)
-        dlcol = (a_cols[is_dense] % TILE).astype(np.int64)
+        b_of_nnz = np.repeat(blk_pos, counts_all[tile_dense])
+        dlrow = (ar_p[:b_r] % TILE).astype(np.int64)
+        dlcol = (ac_p[:b_r] % TILE).astype(np.int64)
         # (col, row) layout: the kernel computes out_panel += D_panel @ block
         from ..io.loader import dense_scatter
 
-        dense_scatter(dvals, b_of_nnz, dlcol, dlrow, a_vals[is_dense])
+        dense_scatter(dvals, b_of_nnz, dlcol, dlrow, av_p[:b_r])
 
         rp_blk = np.zeros(ndblk, np.int64)
         rp_blk[blk_pos] = d_tiles % stripe_tiles
@@ -528,12 +542,11 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
         dblk_panel = np.append(
             np.repeat((gd_uniq % n_colpanels).astype(np.int32), win_per_d), 0
         ).astype(np.int32)
-        slot_sorted[is_dense] = (
-            nchunk_slots + b_of_nnz * TILE * TILE + dlcol * TILE + dlrow
-        )
+        dense_local = b_of_nnz * TILE * TILE + dlcol * TILE + dlrow
     else:
         ndblk = 0
         dvals = dblk_stripe = dblk_panel = dblk_rp = None
+        dense_local = None
 
     # ---- quad-tail store (TILE//quad_seg small tiles per chunk) ----
     q_tiles = tiles_all[tile_quad]
@@ -585,72 +598,73 @@ def _build_side_compact(rows, cols, vals, p, n, stripe_tiles, group,
             np.repeat((gq_uniq % n_colpanels).astype(np.int32), win_per_q), 0
         ).astype(np.int32)
 
-        # per-nnz placement (akey order is sorted, tiles contiguous)
-        qk = akey[is_quad]
-        tile_of_nnz_q = np.searchsorted(q_tiles, qk)
-        tfirst_q = np.searchsorted(qk, q_tiles)
-        pos_q = np.arange(len(qk)) - tfirst_q[tile_of_nnz_q]
+        # per-nnz placement from the quad partition (tile-sorted, tiles
+        # contiguous: ranges come from the classification counts)
+        counts_q = counts_all[tile_quad]
+        tf_q = np.cumsum(counts_q) - counts_q
+        tile_of_nnz_q = np.repeat(np.arange(len(q_tiles)), counts_q)
+        pos_q = np.arange(nq_nnz, dtype=np.int64) - np.repeat(tf_q, counts_q)
         qslot = (
             chunk_of_tile[tile_of_nnz_q] * TILE
             + seg_of_tile[tile_of_nnz_q] * quad_seg
             + pos_q
         )
-        qlrows.reshape(-1)[qslot] = (a_rows[is_quad] % TILE).astype(np.int32)
-        qlcols.reshape(-1)[qslot] = (a_cols[is_quad] % TILE).astype(np.int32)
-        qvals.reshape(-1)[qslot] = a_vals[is_quad]
-        slot_sorted[is_quad] = nchunk_slots + ndblk * TILE * TILE + qslot
+        qlrows.reshape(-1)[qslot] = (ar_p[b_q:b_c] % TILE).astype(np.int32)
+        qlcols.reshape(-1)[qslot] = (ac_p[b_q:b_c] % TILE).astype(np.int32)
+        qvals.reshape(-1)[qslot] = av_p[b_q:b_c]
     else:
         nq = 0
         qvals = qlrows = qlcols = q_rp = qwin_panel = qwin_stripe = None
+        qslot = None
 
     # ---- COO dust band (tiles <= coo_tail_nnz): XLA segment-sum path ----
-    n_coo = int(is_coo.sum())
+    n_coo = nc_nnz
     if n_coo:
-        c_rows = a_rows[is_coo]
-        c_cols = a_cols[is_coo]
+        c_rows = ar_p[b_c:]
+        c_cols = ac_p[b_c:]
         oc = stable_argsort(c_rows.astype(np.int64) * n + c_cols)
         coo_rows = c_rows[oc].astype(np.int32)
         coo_cols = c_cols[oc].astype(np.int32)
-        coo_vals = a_vals[is_coo][oc].astype(np.float32)
-        cobase = nchunk_slots + ndblk * TILE * TILE + nq * TILE
+        coo_vals = av_p[b_c:][oc].astype(np.float32)
         pos = np.empty(n_coo, np.int64)
         pos[oc] = np.arange(n_coo)
-        slot_sorted[is_coo] = cobase + pos
     else:
         coo_rows = coo_cols = coo_vals = None
+        pos = None
 
-    perm = np.empty(len(akey), np.int64)
-    perm[order] = slot_sorted
-    # per-region refresh maps (see the dataclass comments): chunk/quad slots
-    # get an inverse-perm gather table, dense elements a scatter pair
+    # perm + per-region refresh maps straight from the class partition:
+    # each class carries (CSR id, slot) pairs, so the maps are direct
+    # scatters with near-monotone slot targets — the CSR-domain perm
+    # gathers this replaces measured ~9 s at the config6 side.
     nnz_total = len(akey)
     idt = np.int32 if nnz_total < 2**31 - 1 else np.int64
-    csr_ids = np.arange(nnz_total, dtype=idt)
-    cmask = perm < nchunk_slots
-    inv = np.full(nchunk_slots, nnz_total, idt)
-    inv[perm[cmask]] = csr_ids[cmask]
     qbase = nchunk_slots + ndblk * TILE * TILE
     cobase = qbase + nq * TILE
+    perm = np.empty(nnz_total, np.int64)
+    inv = np.full(nchunk_slots, nnz_total, idt)
+    if nr_nnz:
+        perm[ids_res] = res_slots
+        inv[res_slots] = ids_res.astype(idt, copy=False)
+    if ndblk and nd_nnz:
+        perm[ids_p[:b_r]] = nchunk_slots + dense_local
+    if ndblk:
+        dense_nnz = ids_p[:b_r].astype(idt, copy=False)
+        sdt = np.int32 if ndblk * TILE * TILE < 2**31 - 1 else np.int64
+        dense_slot = dense_local.astype(sdt)
+    else:
+        dense_nnz = dense_slot = None
     if nq:
-        qmask = (perm >= qbase) & (perm < cobase)
         qinv = np.full(nq * TILE, nnz_total, idt)
-        qinv[perm[qmask] - nchunk_slots - ndblk * TILE * TILE] = csr_ids[qmask]
+        if nq_nnz:
+            perm[ids_p[b_q:b_c]] = qbase + qslot
+            qinv[qslot] = ids_p[b_q:b_c].astype(idt, copy=False)
     else:
         qinv = None
     if n_coo:
-        comask = perm >= cobase
-        coo_ids = np.empty(n_coo, idt)
-        coo_ids[perm[comask] - cobase] = csr_ids[comask]
+        perm[ids_p[b_c:]] = cobase + pos
+        coo_ids = ids_p[b_c:][oc].astype(idt, copy=False)
     else:
         coo_ids = None
-    if ndblk:
-        dmask = (~cmask) & (perm < qbase)
-        dense_nnz = csr_ids[dmask]
-        dslot = perm[dmask] - nchunk_slots
-        sdt = np.int32 if ndblk * TILE * TILE < 2**31 - 1 else np.int64
-        dense_slot = dslot.astype(sdt)
-    else:
-        dense_nnz = dense_slot = None
 
     win_per_group = (padded_per_group // group).astype(np.int64)
     win_stripe = np.repeat((g_uniq // n_cpanels).astype(np.int32), win_per_group)
