@@ -17,8 +17,11 @@ def main():
 
     config.set_greedycd_cascade(slab_rows=131072)
     rng = np.random.default_rng(0)
-    p, n, k = 2_000_000, 200_000, 256
-    rows, cols, vals = _movielens_like(rng, p=p, n=n, nnz=90_000_000)
+    p = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+    nnz_draw = int(sys.argv[3]) if len(sys.argv) > 3 else 90_000_000
+    k = 256
+    rows, cols, vals = _movielens_like(rng, p=p, n=n, nnz=nnz_draw)
     t0 = time.perf_counter()
     X = build_tiled(rows, cols, vals, (p, n), dense_tile_nnz=2048,
                     group=8, coo_tail_nnz=32).slim()

@@ -550,6 +550,65 @@ def config6():
     return out
 
 
+def config7():
+    """config5's single-chip rung (VERDICT r4 #6): the EXACT per-chip share
+    of the 10M x 1M rank-256 north star under (4, 4) 2-D sharding —
+    2.5M x 250k, ~105M nnz (same MovieLens-like density class as config6's
+    4-chip-equivalent slab).  Validates the capacity ladder one rung up:
+    W alone is 2.56 GB on-chip and the solve carries ~3 copies."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from nmf_tpu.models.coorddesc import CoordinateDescent
+    from nmf_tpu.models.greedycd import GreedyCD
+    from nmf_tpu.ops.sparse_format import build_tiled
+
+    rng = np.random.default_rng(0)
+    p, n, k = 2_500_000, 250_000, 256
+    rows, cols, vals = _movielens_like(rng, p=p, n=n, nnz=115_000_000)
+    nnz = len(vals)
+    t0 = time.perf_counter()
+    X = build_tiled(
+        rows, cols, vals, (p, n), dense_tile_nnz=2048, group=8,
+        coo_tail_nnz=32,
+    ).slim()
+    X = dataclasses.replace(
+        X, row_perm=None, row_rank=None, col_perm=None, col_rank=None
+    )
+    build_sec = time.perf_counter() - t0
+
+    out = {
+        "metric": "c7_config5_per_chip_share_2.5Mx250k_k256",
+        "value": 0.0,
+        "unit": "hals_iterations/sec",
+        "nnz": nnz,
+        "host_build_sec": round(build_sec, 1),
+        "note": "exact (4,4) per-chip share of the 10M x 1M rank-256 north star",
+    }
+    try:
+        cd, _ = CoordinateDescent(maxiter=100)._resolved(np.float32)
+        out["value"] = round(
+            _solver_rate_device_init(cd, X, p, n, k, 2, 6), 3
+        )
+    except Exception as e:
+        out["hals_error"] = repr(e)[:4000]
+    from nmf_tpu import config as _cfg
+
+    saved_slab = _cfg.greedycd_cascade["slab_rows"]
+    try:
+        _cfg.set_greedycd_cascade(slab_rows=131072)
+        g, _ = GreedyCD(maxiter=100)._resolved(np.float32)
+        out["greedycd_iters_per_sec"] = round(
+            _solver_rate_device_init(g, X, p, n, k, 2, 4), 3
+        )
+    except Exception as e:
+        out["greedycd_error"] = repr(e)[:4000]
+    finally:
+        _cfg.set_greedycd_cascade(slab_rows=saved_slab)
+    return out
+
+
 def spa4():
     """SPA at config4 scale (163k x 59k power-law sparse, k=128): anchor
     selection (basis-tracking, sparse) + the batched-FNNLS H estimate whose
@@ -816,6 +875,7 @@ CONFIGS = {
     "config4": config4,
     "config5": config5,
     "config6": config6,
+    "config7": config7,
     "spa4": spa4,
     "ttt1": ttt1,
     "ttt2": ttt2,
