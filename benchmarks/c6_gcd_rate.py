@@ -29,14 +29,26 @@ def main():
                             col_perm=None, col_rank=None)
     print("build", round(time.perf_counter() - t0, 1), "s", flush=True)
 
+    from functools import partial
+
     g, _ = GreedyCD(maxiter=100)._resolved(np.float32)
     tol = jnp.asarray(1e-30, jnp.float32)
-    kw, kh = jax.random.split(jax.random.PRNGKey(0))
-    W = jax.random.uniform(kw, (p, k), jnp.float32)
-    H = jax.random.uniform(kh, (k, n), jnp.float32)
+
+    @jax.jit
+    def dev_init(key):
+        kw, kh = jax.random.split(key)
+        W = jax.random.uniform(kw, (p, k), jnp.float32)
+        H = jax.random.uniform(kh, (k, n), jnp.float32)
+        return W, H
+
+    W, H = dev_init(jax.random.PRNGKey(0))
     state = _prepare(g, X, W, H)
 
-    def one_iter(w, h, st):
+    # donate the carried buffers: at the config7 scale (W = 2.56 GB) a
+    # non-donating per-iter dispatch holds input+output copies of W/H/state
+    # simultaneously and ResourceExhausts the chip
+    @partial(jax.jit, donate_argnums=(1, 2, 3))
+    def one_iter(X, w, h, st):
         w, h, st, t, _conv, _ = _solve_while_from(
             g, st, X, w, h, 0, jnp.asarray(1, jnp.int32), tol,
             with_objective=False,
@@ -44,13 +56,13 @@ def main():
         return w, h, st
 
     t0 = time.perf_counter()
-    W, H, state = one_iter(W, H, state)  # compile + iter 1
+    W, H, state = one_iter(X, W, H, state)  # compile + iter 1
     jax.block_until_ready(W); float(jnp.sum(H))
     print(f"iter1 (compile+run): {time.perf_counter()-t0:.1f}s", flush=True)
     times = []
     for i in range(6):
         t0 = time.perf_counter()
-        W, H, state = one_iter(W, H, state)
+        W, H, state = one_iter(X, W, H, state)
         float(jnp.sum(H))
         times.append(time.perf_counter() - t0)
         print(f"iter{i+2}: {times[-1]:.1f}s", flush=True)

@@ -258,6 +258,15 @@ def _solve_while_from(upd, state, X, W, H, t0, maxiter, tol, with_objective=True
     return final.W, final.H, final.state, final.t, final.converged, objv
 
 
+#: donating twin of ``_solve_while_from`` for host-driven chunked loops
+#: whose carried buffers are loop-owned (never the caller's arrays)
+_solve_while_from_donating = partial(
+    jax.jit,
+    static_argnames=("with_objective",),
+    donate_argnames=("state", "W", "H"),
+)(_solve_while_from.__wrapped__)
+
+
 @jax.jit
 def _solve_while(upd, X, W, H, maxiter, tol):
     """Whole solve as one on-device while_loop.  Matches the reference loop
@@ -454,11 +463,18 @@ def _solve_chunked_dispatch(upd, X, W, H, maxiter, tol, chunk: int) -> Result:
     maxiter_i = int(maxiter)
     t = 0
     converged = False
+    step = _solve_while_from
     while not converged and t < maxiter_i:
         upto = min(t + chunk, maxiter_i)
-        W, H, state, t_a, conv_a, _ = _solve_while_from(
+        W, H, state, t_a, conv_a, _ = step(
             upd, state, X, W, H, t, upto, tol, with_objective=False
         )
+        # donate the carried buffers from the second dispatch on: at
+        # capacity scale (config7: W = 2.56 GB) holding input+output
+        # copies of W/H/state per dispatch ResourceExhausts the chip.
+        # The FIRST dispatch must not donate — it consumes the caller's
+        # factors, which stay valid user-visible arrays.
+        step = _solve_while_from_donating
         t = int(t_a)
         converged = bool(conv_a)
     objv = _objective(upd, state, X, W, H)
