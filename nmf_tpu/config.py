@@ -212,7 +212,10 @@ def _env_int(name: str, default: int, lo: int) -> int:
 
 greedycd_cascade: dict[str, int] = {
     "shrink": _env_int("NMF_TPU_CASCADE_SHRINK", 4, 2),
-    "min": _env_int("NMF_TPU_CASCADE_MIN", 1024, 1),
+    # floor 128: the r5 on-chip sweep (benchmarks/results/r05_fourclass.jsonl)
+    # measured config4 GreedyCD 5.72 (min=1024) -> 6.77 it/s (min=128), with
+    # a plateau below 128 that only adds cascade levels (compile time)
+    "min": _env_int("NMF_TPU_CASCADE_MIN", 128, 1),
     "off_rows": _env_int("NMF_TPU_CASCADE_OFF_ROWS", 4096, 1),
     # above this many rows the update runs as a lax.map over row slabs
     # (memory: the full-width G/S/D scratch is 4 (rows x k) f32 arrays —
