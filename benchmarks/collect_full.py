@@ -83,7 +83,7 @@ def probe_tpu(timeout=150):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="BENCH_full_r03.json")
+    ap.add_argument("--out", default="BENCH_full_r05.json")
     ap.add_argument("--only", default="configs,ttt,spa,sparse,cold,c5d,ingest")
     ap.add_argument("--skip-config6", action="store_true",
                     help="skip the 90M-nnz north-star slice (long host build)")
@@ -109,7 +109,7 @@ def main():
     if "configs" in only:
         names = ["config1", "config2", "config3", "config4", "config5"]
         if not args.skip_config6:
-            names.append("config6")
+            names += ["config6", "config7"]
         emit("configs", run_lines([py, f"{HERE}/run.py"] + names, 7200))
     if "ttt" in only:
         emit("ttt", run_lines(
@@ -129,7 +129,7 @@ def main():
             [py, f"{HERE}/sparse_kernel.py", "--dist", "powerlaw",
              "--p", "40000", "--n", "20000",
              "--paths", "bcoo,compact", "--precisions", "highest",
-             "--dense", "0,130", "--quads", "0,16,32,16:16,8:16"], 3600,
+             "--dense", "0,130", "--quads", "0,32", "--coo", "0,3"], 3600,
         ))
     if "cold" in only:
         cache = "/tmp/nmf_bench_xla_cache"
