@@ -99,6 +99,60 @@ def _solver_rate_device_init(upd, X, p, n, k, n_small, n_big, seed=0):
     return _timed(run, n_small, n_big)
 
 
+def _greedycd_chunked_rate(X, p, n, k, iters=6, slab_rows=131072):
+    """Capacity-scale GreedyCD rate via 1-iter-per-dispatch chunking with
+    donated carries — the (2, N)-iteration monolithic dispatches crash the
+    TPU worker at config6/7 scale (device-time watchdog), and non-donating
+    per-iter dispatches ResourceExhaust at config7 (W = 2.56 GB).  Returns
+    (mean it/s over the window, steady-state it/s over iters 3+, per-iter
+    seconds)."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from nmf_tpu import config as _cfg
+    from nmf_tpu.models.common import _prepare, _solve_while_from
+    from nmf_tpu.models.greedycd import GreedyCD
+
+    saved_slab = _cfg.greedycd_cascade["slab_rows"]
+    _cfg.set_greedycd_cascade(slab_rows=slab_rows)
+    try:
+        g, _ = GreedyCD(maxiter=100)._resolved(np.float32)
+        tol = jnp.asarray(1e-30, jnp.float32)
+
+        @jax.jit
+        def dev_init(key):
+            kw, kh = jax.random.split(key)
+            return (jax.random.uniform(kw, (p, k), jnp.float32),
+                    jax.random.uniform(kh, (k, n), jnp.float32))
+
+        W, H = dev_init(jax.random.PRNGKey(0))
+        state = _prepare(g, X, W, H)
+
+        @partial(jax.jit, donate_argnums=(1, 2, 3))
+        def one_iter(X, w, h, st):
+            w, h, st, t, _conv, _ = _solve_while_from(
+                g, st, X, w, h, 0, jnp.asarray(1, jnp.int32), tol,
+                with_objective=False,
+            )
+            return w, h, st
+
+        W, H, state = one_iter(X, W, H, state)  # compile + iter 1
+        float(jnp.sum(H))
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            W, H, state = one_iter(X, W, H, state)
+            float(jnp.sum(H))
+            times.append(time.perf_counter() - t0)
+        mean_rate = len(times) / sum(times)
+        steady = times[1:] if len(times) > 2 else times
+        return mean_rate, len(steady) / sum(steady), times
+    finally:
+        _cfg.set_greedycd_cascade(slab_rows=saved_slab)
+
+
 def _time_to_tol(upd, X, W, H, target, chunk=25, max_iters=5000, trajectory=False):
     """Wall time until relative reconstruction error
     ``||X - WH||_F / ||X||_F <= target`` (BASELINE.md's stated metric).
@@ -528,25 +582,13 @@ def config6():
         )
     except Exception as e:  # keep the other solver's number
         out["hals_error"] = repr(e)[:4000]
-    from nmf_tpu import config as _cfg
-
-    saved_slab = _cfg.greedycd_cascade["slab_rows"]
     try:
-        # smaller slabs at this scale: the default 512k slab's ~3 GB of
-        # cascade scratch on top of X + carry + Z + delta crashed the TPU
-        # worker (kernel fault = runtime memory pressure; the slab driver
-        # itself validates on-chip at small scale)
-        _cfg.set_greedycd_cascade(slab_rows=131072)
-        g, _ = GreedyCD(maxiter=100)._resolved(np.float32)
-        out["greedycd_iters_per_sec"] = round(
-            _solver_rate_device_init(g, X, p, n, k, 2, 4), 3
-        )
+        mean_r, steady_r, times = _greedycd_chunked_rate(X, p, n, k)
+        out["greedycd_iters_per_sec"] = round(mean_r, 3)
+        out["greedycd_steady_iters_per_sec"] = round(steady_r, 3)
+        out["greedycd_iter_sec"] = [round(t, 2) for t in times]
     except Exception as e:
         out["greedycd_error"] = repr(e)[:4000]
-    finally:
-        # restore: a later section in the same process (collect_full) must
-        # not silently inherit the overridden slab size
-        _cfg.set_greedycd_cascade(slab_rows=saved_slab)
     return out
 
 
@@ -593,19 +635,13 @@ def config7():
         )
     except Exception as e:
         out["hals_error"] = repr(e)[:4000]
-    from nmf_tpu import config as _cfg
-
-    saved_slab = _cfg.greedycd_cascade["slab_rows"]
     try:
-        _cfg.set_greedycd_cascade(slab_rows=131072)
-        g, _ = GreedyCD(maxiter=100)._resolved(np.float32)
-        out["greedycd_iters_per_sec"] = round(
-            _solver_rate_device_init(g, X, p, n, k, 2, 4), 3
-        )
+        mean_r, steady_r, times = _greedycd_chunked_rate(X, p, n, k)
+        out["greedycd_iters_per_sec"] = round(mean_r, 3)
+        out["greedycd_steady_iters_per_sec"] = round(steady_r, 3)
+        out["greedycd_iter_sec"] = [round(t, 2) for t in times]
     except Exception as e:
         out["greedycd_error"] = repr(e)[:4000]
-    finally:
-        _cfg.set_greedycd_cascade(slab_rows=saved_slab)
     return out
 
 
