@@ -133,12 +133,21 @@ def test_sharded_sparse_compact_single_chip_mesh():
     Xd[:130, :130] += (
         (rng.random((130, 130)) < 0.9) * rng.random((130, 130))
     ).astype(np.float32)
+    # guaranteed quad + COO tiles on clean 128-boundaries with natural
+    # order (per-block degree compaction at this tiny scale merges any
+    # constructed dust band — same trick as __graft_entry__'s lattice)
+    d20 = np.arange(20)
+    Xd[256:384, 256:384] = 0  # clear the background inside the quad tile
+    Xd[256 + d20, 256 + d20] = 0.5
+    Xd[1792:1920, 1280:1408] = 0  # and inside the COO tile
+    Xd[1900, 1400] = 0.25
     r, c = np.nonzero(Xd)
     mesh = make_mesh((1, 1), devices=jax.devices()[:1])
     X = shard_tiled(
-        r, c, Xd[r, c], Xd.shape, mesh, dense_tile_nnz=130, quad_tail_nnz=32
+        r, c, Xd[r, c], Xd.shape, mesh, dense_tile_nnz=130, quad_tail_nnz=32,
+        coo_tail_nnz=2, order="natural",
     )
-    assert X.fwd.n_dblocks and X.fwd.n_qchunks
+    assert X.fwd.n_dblocks and X.fwd.n_qchunks and X.fwd.n_coo
     D = jnp.asarray(rng.random((n, 64)).astype(np.float32))
     np.testing.assert_allclose(
         np.asarray(sharded_mm(X, D)), Xd @ np.asarray(D), rtol=3e-5, atol=1e-3
