@@ -317,6 +317,12 @@ def _movielens_like(rng, p=163_000, n=59_000, nnz=25_000_000):
 
 
 def ttt4(trajectory=False):
+    # The HALS row is the headline: stable across builds/perturbations.
+    # GreedyCD's iterations-to-0.84 is CHAOTIC near its flat relerr floor:
+    # 1e-6-scale input perturbations swing it 15 -> 40+ iterations (measured
+    # r5, benchmarks/results/r05_fourclass.jsonl) — its per-iteration speed
+    # is what improved (0.40 -> 0.13 s/iter with the coo band), while the
+    # basin its trajectory lands in sets the crossing time.
     import jax.numpy as jnp
 
     from nmf_tpu.models.coorddesc import CoordinateDescent
@@ -326,7 +332,8 @@ def ttt4(trajectory=False):
     rng = np.random.default_rng(0)
     p, n, k = 163_000, 59_000, 128
     rows, cols, vals = _movielens_like(rng)
-    X = build_tiled(rows, cols, vals, (p, n), dense_tile_nnz=192)
+    X = build_tiled(rows, cols, vals, (p, n), dense_tile_nnz=192,
+                    coo_tail_nnz=3)
     W = jnp.asarray(rng.random((p, k), dtype=np.float32))
     H = jnp.asarray(rng.random((k, n), dtype=np.float32))
     target = TTT["ttt4"]["target"]
@@ -453,7 +460,8 @@ def config4():
     nnz = len(vals)
     # compact layout + degree sort + hybrid dense head (measured best on
     # power-law, docs/sparse_kernel_design.md)
-    X = build_tiled(rows, cols, vals, (p, n), dense_tile_nnz=192)
+    X = build_tiled(rows, cols, vals, (p, n), dense_tile_nnz=192,
+                    coo_tail_nnz=3)
     W = jnp.asarray(rng.random((p, k), dtype=np.float32))
     H = jnp.asarray(rng.random((k, n), dtype=np.float32))
 
@@ -658,7 +666,8 @@ def spa4():
     rng = np.random.default_rng(0)
     p, n, k = 163_000, 59_000, 128
     rows, cols, vals = _movielens_like(rng)
-    X = build_tiled(rows, cols, vals, (p, n), dense_tile_nnz=192)
+    X = build_tiled(rows, cols, vals, (p, n), dense_tile_nnz=192,
+                    coo_tail_nnz=3)
     from nmf_tpu import config as _cfg
 
     t_compile0 = time.perf_counter()
